@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: NeMo fit optimization-step throughput on one chip.
+
+Runs the reference workload shape (BASELINE.md: NemoV2, batch 512, h_dim
+1000, RBF 100, 8 views) on a synthetic bundle at full SMPL scale (6890
+vertices) with the VPoser + GMM priors active, and reports optimization
+steps/second for the main fit stage.
+
+Baseline: the PyTorch reference runs this loop at roughly 3-6 steps/s on a
+single GPU (each step: 3 SMPL forwards at batch 512 + per-step host syncs;
+no published numbers exist — BASELINE.md). vs_baseline uses 5 steps/s as the
+reference point; the north star is >= 10x.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+REFERENCE_STEPS_PER_SEC = 5.0  # estimated torch single-GPU throughput
+
+
+def main():
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, NemoFitter, build_assets
+    from nemo_tpu.priors import init_vposer, synthetic_gmm_prior
+
+    # Reference workload shape (run_scripts_examples/nemomocap-example.sh)
+    cfg = NemoConfig(
+        model_version=2, h_dim=1000, instance_code_size=5,
+        phase_rbf_dim=100, rbf_kernel="quadratic",
+        monotonic_network_n_nodes=200, phase_init="rand",
+        batch_size=512, loss="mse_robust",
+        weight_vp_loss=10.0, weight_vp_z_loss=1.0, weight_gmm_loss=1.0,
+        lr_factor=0.5, n_steps=2000, warmup_step=300, opt_cam_step=1000,
+        label_type="gt",
+    )
+    model = synthetic_smpl_model(num_vertices=6890, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=8, num_frames=120, seed=0)
+    assets = build_assets(bundle, model, cfg,
+                          gmm=synthetic_gmm_prior(8),
+                          vposer=init_vposer(jax.random.PRNGKey(7)))
+    fitter = NemoFitter(cfg, assets, seed=0)
+
+    # Warm the compile caches with tiny stage runs.
+    fitter.warmup(2)
+    fitter.opt_cam(2)
+    fitter.fit(steps=2, chunk=2)
+
+    # Timed run: one full 500-step main-stage chunk, fully on-device.
+    n_timed = 500
+    run = fitter._stage_scan("main", n_timed)
+    st = fitter.state
+    carry = (st.params, st.opt_state, st.plateau, st.key)
+    # compile
+    out = run(carry)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(carry)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_timed / dt
+    print(json.dumps({
+        "metric": "nemo_v2_fit_steps_per_sec_batch512",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

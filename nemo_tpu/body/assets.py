@@ -1,0 +1,219 @@
+"""SMPL asset loading and synthetic body-model fixtures.
+
+Real SMPL model files are distributed by MPI (not shippable with code), so
+this module supports:
+  * ``load_smpl_npz`` — the .npz layout produced by smplx's conversion tools;
+  * ``load_smpl_pkl`` — the original chumpy-era pickle, read with a tolerant
+    unpickler that stubs chumpy/scipy objects (the reference vendors all of
+    chumpy just to unpickle these files; we need ~40 lines instead);
+  * ``synthetic_smpl_model`` — a deterministic, kinematically valid fake body
+    at any vertex count, used by the test-suite and benchmarks so the whole
+    framework runs end-to-end with no proprietary data.
+
+Reference behavior: hmr/smpl.py:17-43 (J_regressor_extra + joint_map) and
+hmr/hmr_config.py (asset paths).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .smpl import SMPLModel, build_fused_tables
+
+
+# ---------------------------------------------------------------------------
+# tolerant unpickler for chumpy-era SMPL pickles
+# ---------------------------------------------------------------------------
+
+class _ChumpyStub:
+    """Absorbs chumpy.Ch state; exposes the wrapped ndarray as .r / asarray."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+    @property
+    def r(self):
+        for key in ("x", "a", "v"):
+            if key in self.__dict__:
+                return np.asarray(self.__dict__[key])
+        raise AttributeError("chumpy stub holds no array payload")
+
+    def __array__(self, dtype=None):
+        arr = self.r
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyStub
+        return super().find_class(module, name)
+
+
+def _to_dense(x) -> np.ndarray:
+    if hasattr(x, "todense"):  # scipy sparse
+        return np.asarray(x.todense())
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def _assemble(v_template, shapedirs, posedirs, J_regressor, weights, parents,
+              faces, J_regressor_extra: Optional[np.ndarray],
+              num_betas: int = 10) -> SMPLModel:
+    v_template = np.asarray(v_template, np.float32)
+    V = v_template.shape[0]
+    shapedirs = np.asarray(shapedirs, np.float32)[..., :num_betas]
+    # reference posedirs layout: (P=207, V*3) (lbs.py:227 matmul)
+    posedirs = np.asarray(posedirs, np.float32)
+    if posedirs.shape[0] == V:  # (V, 3, 207) raw layout -> (207, V*3)
+        posedirs = posedirs.reshape(V * 3, -1).T
+    posedirs = np.ascontiguousarray(posedirs, np.float32)
+    J_regressor = _to_dense(J_regressor).astype(np.float32)
+    weights = np.asarray(weights, np.float32)
+    parents = np.asarray(parents, np.int64)
+    if J_regressor_extra is None:
+        J_regressor_extra = np.zeros((9, V), np.float32)
+    J_regressor_extra = np.asarray(J_regressor_extra, np.float32)
+
+    vids = constants.VERTEX_JOINT_IDS
+    if V != 6890:  # synthetic / downscaled models remap vertex keypoints
+        vids = (vids * V) // 6890
+    ES, EP, EW = build_fused_tables(weights, J_regressor_extra, vids,
+                                    posedirs)
+    return SMPLModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(J_regressor),
+        lbs_weights=jnp.asarray(weights),
+        J_regressor_extra=jnp.asarray(J_regressor_extra),
+        fused_ES=ES, fused_EP=EP, fused_EW=EW,
+        parents=parents,
+        vertex_joint_ids=np.asarray(vids),
+        joint_map=constants.JOINT_MAP,
+        faces=None if faces is None else np.asarray(faces, np.int64),
+    )
+
+
+def load_smpl_pkl(path: str, j_regressor_extra_path: Optional[str] = None,
+                  num_betas: int = 10) -> SMPLModel:
+    """Load an original SMPL .pkl (chumpy pickle) without chumpy."""
+    with open(path, "rb") as f:
+        data = _TolerantUnpickler(f, encoding="latin1").load()
+    jre = np.load(j_regressor_extra_path) if j_regressor_extra_path else None
+    kintree = np.asarray(_to_dense(data["kintree_table"]), np.int64)
+    parents = kintree[0].copy()
+    parents[0] = -1
+    return _assemble(
+        _to_dense(data["v_template"]), _to_dense(data["shapedirs"]),
+        _to_dense(data["posedirs"]).reshape(len(_to_dense(data["v_template"])), 3, -1),
+        data["J_regressor"], _to_dense(data["weights"]), parents,
+        _to_dense(data.get("f")), jre, num_betas)
+
+
+def load_smpl_npz(path: str, j_regressor_extra_path: Optional[str] = None,
+                  num_betas: int = 10) -> SMPLModel:
+    """Load a converted SMPL .npz (smplx tools layout)."""
+    data = np.load(path, allow_pickle=True)
+    jre = np.load(j_regressor_extra_path) if j_regressor_extra_path else None
+    kintree = np.asarray(data["kintree_table"], np.int64)
+    parents = kintree[0].copy()
+    parents[0] = -1
+    posedirs = np.asarray(data["posedirs"])
+    v_template = np.asarray(data["v_template"])
+    if posedirs.ndim == 3:
+        pass  # (V, 3, 207)
+    return _assemble(v_template, data["shapedirs"], posedirs,
+                     data["J_regressor"], data["weights"], parents,
+                     data.get("f"), jre, num_betas)
+
+
+def load_smpl(path: str, j_regressor_extra_path: Optional[str] = None,
+              num_betas: int = 10) -> SMPLModel:
+    """Dispatch on file extension; directories pick the neutral-gender file."""
+    if os.path.isdir(path):
+        for cand in ("SMPL_NEUTRAL.pkl", "SMPL_NEUTRAL.npz",
+                     "basicmodel_neutral_lbs_10_207_0_v1.1.0.pkl",
+                     "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"):
+            full = os.path.join(path, cand)
+            if os.path.exists(full):
+                path = full
+                break
+        else:
+            raise FileNotFoundError(f"no SMPL model file under {path}")
+    if path.endswith(".npz"):
+        return load_smpl_npz(path, j_regressor_extra_path, num_betas)
+    return load_smpl_pkl(path, j_regressor_extra_path, num_betas)
+
+
+# ---------------------------------------------------------------------------
+# synthetic fixture
+# ---------------------------------------------------------------------------
+
+def synthetic_smpl_model(num_vertices: int = 6890, seed: int = 0,
+                         num_betas: int = 10) -> SMPLModel:
+    """A deterministic, kinematically valid synthetic body model.
+
+    Rest joints follow a humanoid-ish layout over the real SMPL tree; the
+    mesh is scattered around the skeleton; skinning weights fall off with
+    distance to the nearest joints. Differentiable and well-conditioned, so
+    fit/eval tests behave like the real model without MPI assets.
+    """
+    rng = np.random.RandomState(seed)
+    parents = constants.SMPL_PARENTS
+    J = len(parents)
+
+    # Rest skeleton: root at origin, children offset in a repeatable pattern.
+    rest = np.zeros((J, 3), np.float32)
+    offsets = 0.25 * rng.randn(J, 3).astype(np.float32)
+    offsets[:, 1] -= 0.1  # mild downward bias: limbs extend away from root
+    for i in range(1, J):
+        rest[i] = rest[parents[i]] + offsets[i]
+
+    # Vertices scattered around bones.
+    owner = rng.randint(0, J, size=num_vertices)
+    v_template = rest[owner] + 0.08 * rng.randn(num_vertices, 3).astype(np.float32)
+
+    # Skinning weights: inverse-distance softmax over the 4 nearest joints.
+    d = np.linalg.norm(v_template[:, None] - rest[None], axis=-1)  # (V, J)
+    logits = -d / 0.05
+    logits -= logits.max(axis=1, keepdims=True)
+    w = np.exp(logits)
+    # keep only top-4 joints per vertex (like real SMPL's sparse weights)
+    order = np.argsort(-w, axis=1)
+    mask = np.zeros_like(w)
+    np.put_along_axis(mask, order[:, :4], 1.0, axis=1)
+    w = w * mask
+    weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    # Joint regressor: rows reproduce the rest joints from the template
+    # by construction (weighted average of nearby vertices).
+    Jreg = np.zeros((J, num_vertices), np.float32)
+    for j in range(J):
+        idx = np.argsort(d[:, j])[:16]
+        Jreg[j, idx] = 1.0 / 16
+    # correct the regressor so Jreg @ v_template == rest exactly:
+    # add the residual to the single nearest vertex weight via affine shift.
+    # (simplest: store rest explicitly by adjusting v_template is wrong; we
+    # instead accept the small offset — FK uses Jreg @ v_shaped.)
+    rest_hat = Jreg @ v_template
+    # shift template so the regressor reproduces a consistent skeleton
+    rest = rest_hat.astype(np.float32)
+
+    shapedirs = 0.01 * rng.randn(num_vertices, 3, num_betas).astype(np.float32)
+    posedirs_raw = 0.001 * rng.randn(207, num_vertices * 3).astype(np.float32)
+    jre = np.abs(rng.randn(9, num_vertices)).astype(np.float32)
+    jre /= jre.sum(axis=1, keepdims=True)
+
+    return _assemble(v_template, shapedirs, posedirs_raw, Jreg, weights,
+                     parents, None, jre, num_betas)

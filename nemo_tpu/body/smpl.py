@@ -1,0 +1,276 @@
+"""SMPL body model in JAX: linear blend skinning + 49-joint superset output.
+
+Behavioral reference:
+  * LBS math: /root/reference/human_body_prior/body_model/lbs.py:164-260
+    (blend shapes -> joint regression -> pose blendshapes -> kinematic chain
+    -> skinning).
+  * 49-joint output: /root/reference/hmr/smpl.py:17-43 — smplx's 45 joints
+    (24 kinematic + 21 selected vertices) concatenated with 9 extra regressed
+    joints, then remapped through constants.py:72-90 JOINT_MAP.
+
+TPU-first design choices:
+  * the kinematic chain is composed level-by-level (the SMPL tree is 8 levels
+    deep), so FK is a handful of batched (4x4) matmul stages instead of a
+    23-step sequential loop;
+  * shape blendshapes are computed ONCE per call for the shared betas (NeMo
+    optimizes a single (1, 10) beta vector), not per batch element;
+  * a joints-only fast path folds every joint regressor through the skinning
+    equation into small precomputed tensors, so rollouts/evals that don't
+    need the mesh never materialize the (B, 6890, 3) vertex tensor;
+  * all heavy contractions use f32 accumulation (precision=HIGHEST).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.rotations import batch_rodrigues
+
+HI = jax.lax.Precision.HIGHEST
+
+NUM_BODY_JOINTS = 23   # articulated joints (excluding root)
+NUM_JOINTS = 24        # including root
+NUM_VERTICES = 6890
+NUM_BETAS = 10
+NUM_OUTPUT_JOINTS = 49
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLModel:
+    """Immutable SMPL model constants, registered as a jax pytree.
+
+    Array fields are pytree leaves; integer index arrays (parents, joint maps)
+    are static aux data resolved at trace time.
+    """
+    v_template: jnp.ndarray         # (V, 3)
+    shapedirs: jnp.ndarray          # (V, 3, n_betas)
+    posedirs: jnp.ndarray           # (207, V*3) — reference layout (P, V*3)
+    J_regressor: jnp.ndarray        # (24, V)
+    lbs_weights: jnp.ndarray        # (V, 24)
+    J_regressor_extra: jnp.ndarray  # (9, V)
+    # fused joints-only tables (see build_fused_tables):
+    fused_ES: jnp.ndarray           # (30, 24)
+    fused_EP: jnp.ndarray           # (30, 24, 3, 207)
+    fused_EW: jnp.ndarray           # (30, V, 24)
+    # static metadata:
+    parents: np.ndarray             # (24,) int
+    vertex_joint_ids: np.ndarray    # (21,) int vertex ids appended as joints
+    joint_map: np.ndarray           # (49,) int reorder of the 54 joints
+    faces: Optional[np.ndarray] = None  # (F, 3) int, for rendering
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+
+_ARRAY_FIELDS = ("v_template", "shapedirs", "posedirs", "J_regressor",
+                 "lbs_weights", "J_regressor_extra",
+                 "fused_ES", "fused_EP", "fused_EW")
+_STATIC_FIELDS = ("parents", "vertex_joint_ids", "joint_map", "faces")
+
+
+def _smpl_flatten(m: SMPLModel):
+    children = tuple(getattr(m, f) for f in _ARRAY_FIELDS)
+    aux = tuple(
+        None if getattr(m, f) is None else
+        (np.asarray(getattr(m, f)).tobytes(),
+         np.asarray(getattr(m, f)).dtype.str,
+         np.asarray(getattr(m, f)).shape)
+        for f in _STATIC_FIELDS)
+    return children, aux
+
+
+def _smpl_unflatten(aux, children):
+    statics = {}
+    for name, packed in zip(_STATIC_FIELDS, aux):
+        if packed is None:
+            statics[name] = None
+        else:
+            buf, dtype, shape = packed
+            statics[name] = np.frombuffer(buf, dtype=dtype).reshape(shape)
+    return SMPLModel(**dict(zip(_ARRAY_FIELDS, children)), **statics)
+
+
+jax.tree_util.register_pytree_node(SMPLModel, _smpl_flatten, _smpl_unflatten)
+
+
+def build_fused_tables(lbs_weights: np.ndarray,
+                       J_regressor_extra: np.ndarray,
+                       vertex_joint_ids: np.ndarray,
+                       posedirs: np.ndarray):
+    """Fold the extra-joint regressors through the skinning equation.
+
+    Each of the E = 30 extra output joints (21 selected vertices + 9
+    regressed) is a linear functional Rx over the mesh:
+        joint_e = sum_v Rx[e, v] * verts[v]
+    and verts[v] = sum_j W[v, j] * (A[j] @ (v_shaped[v] + posedirs^T pf)).
+    Folding Rx through W and posedirs gives batch-independent tensors:
+        ES[e, j]          = sum_v Rx[e,v] W[v,j]              (translation part)
+        EW[e, v, j]       = Rx[e,v] W[v,j]                    (shape-term factor)
+        EP[e, j, 3, 207]  = sum_v EW[e,v,j] posedirs[:, v, :]  (pose-term fold)
+    so the joints-only forward touches nothing of size V in the batch dims.
+    """
+    V = lbs_weights.shape[0]
+    E_sel = len(vertex_joint_ids)
+    Rx = np.zeros((E_sel + J_regressor_extra.shape[0], V), dtype=np.float32)
+    Rx[np.arange(E_sel), np.asarray(vertex_joint_ids)] = 1.0
+    Rx[E_sel:] = J_regressor_extra
+    EW = Rx[:, :, None] * lbs_weights[None]          # (30, V, 24)
+    ES = EW.sum(axis=1)                              # (30, 24)
+    pd = posedirs.reshape(-1, V, 3)                  # (207, V, 3)
+    EP = np.einsum('evj,pvk->ejkp', EW, pd,
+                   optimize=True)                    # (30, 24, 3, 207)
+    return (jnp.asarray(ES), jnp.asarray(EP.astype(np.float32)),
+            jnp.asarray(EW))
+
+
+def _kinematic_levels(parents: np.ndarray):
+    """Group joint indices by tree depth. Static (trace-time) computation."""
+    parents = np.asarray(parents)
+    depth = np.zeros(len(parents), dtype=np.int64)
+    for i in range(1, len(parents)):
+        depth[i] = depth[parents[i]] + 1
+    levels = []
+    for d in range(1, int(depth.max()) + 1):
+        idx = np.nonzero(depth == d)[0]
+        levels.append((idx, parents[idx]))
+    return levels
+
+
+def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
+                          parents: np.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward kinematics over the SMPL tree.
+
+    Matches lbs.py:350-403 but composes transforms level-parallel: all joints
+    at the same tree depth advance in one batched matmul. parents is a static
+    numpy array, so the level structure is resolved at trace time.
+
+    Args:
+      rot_mats: (B, J, 3, 3)
+      joints: (B, J, 3) rest-pose joint locations (or (J, 3), broadcast).
+    Returns:
+      posed_joints: (B, J, 3)
+      rel_transforms: (B, J, 4, 4) — skinning transforms relative to rest.
+    """
+    if joints.ndim == 2:
+        joints = joints[None]
+    B, J = rot_mats.shape[0], rot_mats.shape[1]
+    joints = jnp.broadcast_to(joints, (B, J, 3))
+
+    rel_joints = joints.at[:, 1:].add(-joints[:, np.asarray(parents)[1:]])
+
+    T_local = jnp.zeros((B, J, 4, 4), dtype=rot_mats.dtype)
+    T_local = T_local.at[:, :, :3, :3].set(rot_mats)
+    T_local = T_local.at[:, :, :3, 3].set(rel_joints)
+    T_local = T_local.at[:, :, 3, 3].set(1.0)
+
+    # Level-parallel composition: global[i] = global[parent[i]] @ local[i].
+    T_global = T_local
+    for idx, par in _kinematic_levels(parents):
+        composed = jnp.einsum('bnij,bnjk->bnik', T_global[:, par],
+                              T_local[:, idx], precision=HI)
+        T_global = T_global.at[:, idx].set(composed)
+
+    posed_joints = T_global[:, :, :3, 3]
+
+    # rel_transforms = T_global with translation reduced by R @ rest_joint
+    # (equivalent to lbs.py:399-402's pad/subtract formulation).
+    tj = jnp.einsum('bnij,bnj->bni', T_global[:, :, :3, :3], joints,
+                    precision=HI)
+    rel = T_global.at[:, :, :3, 3].add(-tj)
+    return posed_joints, rel
+
+
+def smpl_forward(model: SMPLModel,
+                 betas: jnp.ndarray,
+                 body_pose: jnp.ndarray,
+                 global_orient: jnp.ndarray,
+                 pose2rot: bool = False,
+                 want_vertices: bool = True,
+                 transl: Optional[jnp.ndarray] = None
+                 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Full SMPL forward pass.
+
+    Args:
+      model: SMPLModel constants.
+      betas: (1, 10) or (B, 10) shape coefficients.
+      body_pose: (B, 23, 3, 3) rotmats (pose2rot=False) or (B, 69) axis-angle.
+      global_orient: (B, 1, 3, 3) rotmat or (B, 3) axis-angle.
+      want_vertices: if False, skip the mesh and use the fused
+        joint-regressor path (identical joints, far less HBM traffic).
+      transl: optional (B, 3) translation added to outputs.
+    Returns:
+      (vertices or None, joints49): vertices (B, V, 3); joints (B, 49, 3) in
+      the SPIN 49-joint order (hmr/smpl.py:29-43).
+    """
+    if pose2rot:
+        body_rot = batch_rodrigues(body_pose.reshape(-1, 23, 3))
+        orient_rot = batch_rodrigues(global_orient.reshape(-1, 1, 3))
+    else:
+        body_rot = body_pose
+        orient_rot = global_orient.reshape(-1, 1, 3, 3)
+    B = body_rot.shape[0]
+    rot_mats = jnp.concatenate(
+        [jnp.broadcast_to(orient_rot, (B, 1, 3, 3)), body_rot], axis=1)
+
+    # Shape blendshapes; betas is shared across the batch in NeMo fits so
+    # this is (1, V, 3) rather than (B, V, 3).
+    v_shaped = model.v_template + jnp.einsum(
+        'bl,mkl->bmk', betas, model.shapedirs, precision=HI)
+    J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped,
+                   precision=HI)  # (Bb, 24, 3)
+    if J.shape[0] == 1 and B > 1:
+        J = jnp.broadcast_to(J, (B, 24, 3))
+
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, 23 * 9)  # (B, 207)
+
+    posed_joints, A = batch_rigid_transform(rot_mats, J, model.parents)
+
+    if want_vertices:
+        pose_offsets = jnp.matmul(
+            pose_feature, model.posedirs, precision=HI).reshape(B, -1, 3)
+        v_posed = pose_offsets + v_shaped  # (B, V, 3)
+
+        # Skinning without materializing (B, V, 4, 4):
+        #   verts[b,v] = sum_j W[v,j] (A[b,j,:3,:3] @ v_posed[b,v] + A[b,j,:3,3])
+        Av = jnp.einsum('bjik,bvk->bjvi', A[:, :, :3, :3], v_posed,
+                        precision=HI)                       # (B, 24, V, 3)
+        Av = Av + A[:, :, None, :3, 3]
+        verts = jnp.einsum('vj,bjvi->bvi', model.lbs_weights, Av,
+                           precision=HI)                    # (B, V, 3)
+
+        extra = jnp.einsum('jv,bvk->bjk', model.J_regressor_extra, verts,
+                           precision=HI)                    # (B, 9, 3)
+        sel = verts[:, np.asarray(model.vertex_joint_ids)]  # (B, 21, 3)
+        joints54 = jnp.concatenate([posed_joints, sel, extra], axis=1)
+        joints49 = joints54[:, np.asarray(model.joint_map)]
+        if transl is not None:
+            verts = verts + transl[:, None, :]
+            joints49 = joints49 + transl[:, None, :]
+        return verts, joints49
+
+    # ---- joints-only fused path ----
+    if v_shaped.shape[0] != 1:
+        raise NotImplementedError(
+            "joints-only path requires shared betas (shape (1, 10))")
+    # shape term: S[e, j, :] = sum_v EW[e,v,j] v_shaped[v]
+    S = jnp.einsum('evj,vk->ejk', model.fused_EW, v_shaped[0],
+                   precision=HI)                              # (30, 24, 3)
+    Pterm = jnp.einsum('ejkp,bp->bejk', model.fused_EP, pose_feature,
+                       precision=HI)                          # (B, 30, 24, 3)
+    base = S[None] + Pterm
+    ej = jnp.einsum('bjik,bejk->bei', A[:, :, :3, :3], base, precision=HI)
+    ej = ej + jnp.einsum('ej,bji->bei', model.fused_ES, A[:, :, :3, 3],
+                         precision=HI)
+    joints54 = jnp.concatenate([posed_joints, ej], axis=1)
+    joints49 = joints54[:, np.asarray(model.joint_map)]
+    if transl is not None:
+        joints49 = joints49 + transl[:, None, :]
+    return None, joints49

@@ -1,0 +1,224 @@
+"""CLI: fit a neural motion field to a multi-view action bundle.
+
+Equivalent surface to scripts/learned_multi_view_recon_nn.py:39-338 —
+same flag names, same 3-layer config merge, same stage schedule
+(warmup -> opt_cam -> main loop with periodic checkpoints) — driving the
+scan-based NemoFitter instead of a host-side step loop.
+
+Usage:
+  python -m nemo_tpu.cli.fit --bundle action.npz --smpl_path software/smpl \
+      --default_config config/default-v1.yml --model_version 2 ...
+  python -m nemo_tpu.cli.fit --bundle action.npz --synthetic_assets ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--bundle", type=str, default="",
+                   help="packed .npz action bundle (see nemo_tpu.data)")
+    p.add_argument("--nemo_cfg_path", type=str, default="",
+                   help="per-action YAML (exp_dir + video names); used by "
+                        "the preprocessing CLI to locate raw data")
+    p.add_argument("--default_config", type=str, default="")
+    p.add_argument("--out_dir", type=str, default="out/multi_view/default")
+    p.add_argument("--load_ckpt_path", type=str, default="")
+    p.add_argument("--test", action="store_true", default=False)
+    # assets
+    p.add_argument("--smpl_path", type=str, default="",
+                   help="SMPL model dir/file (pkl or npz)")
+    p.add_argument("--j_regressor_extra", type=str, default="")
+    p.add_argument("--vposer_path", type=str, default="")
+    p.add_argument("--gmm_path", type=str, default="")
+    p.add_argument("--synthetic_assets", action="store_true", default=False,
+                   help="use synthetic SMPL/GMM/VPoser (no proprietary data)")
+    # model
+    p.add_argument("--model_version", type=int, default=2)
+    p.add_argument("--h_dim", type=int, default=500)
+    p.add_argument("--instance_code_size", type=int, default=10)
+    p.add_argument("--code_noise", type=float, default=0)
+    p.add_argument("--phase_rbf_dim", type=int, default=0)
+    p.add_argument("--rbf_kernel", type=str, default="linear")
+    p.add_argument("--monotonic_network_n_nodes", type=int, default=10)
+    p.add_argument("--phase_init", type=str, default="rand",
+                   choices=["linear", "rand"])
+    # optimization
+    p.add_argument("--n_steps", type=int, default=100)
+    p.add_argument("--warmup_step", type=int, default=200)
+    p.add_argument("--opt_cam_step", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--lr_camera", type=float, default=1.0)
+    p.add_argument("--lr_human", type=float, default=1e-2)
+    p.add_argument("--lr_instance", type=float, default=1e-2)
+    p.add_argument("--lr_phase", type=float, default=1e-2)
+    p.add_argument("--lr_factor", type=float, default=1e-1)
+    p.add_argument("--opt_human", type=str, default="adam",
+                   choices=["adam", "adamw"])
+    p.add_argument("--wd_human", type=float, default=0)
+    p.add_argument("--loss", type=str, default="mse",
+                   choices=["rmse", "mse", "rmse_robust", "mse_robust",
+                            "mse_robust_resized"])
+    p.add_argument("--weight_vp_loss", type=float, default=0)
+    p.add_argument("--weight_vp_z_loss", type=float, default=0)
+    p.add_argument("--weight_gmm_loss", type=float, default=1e-2)
+    p.add_argument("--weight_instance_loss", type=float, default=0)
+    p.add_argument("--weight_3d_loss", type=float, default=0)
+    p.add_argument("--label_type", type=str, default="gt",
+                   choices=["gt", "op", "intersection"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render_video", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=500)
+    return p
+
+
+def load_assets(args, bundle, cfg):
+    import jax
+    from ..fit import build_assets
+    from ..priors import load_gmm_prior, load_vposer, synthetic_gmm_prior, init_vposer
+
+    if args.synthetic_assets or not args.smpl_path:
+        from ..body import synthetic_smpl_model
+        smpl = synthetic_smpl_model()
+    else:
+        from ..body import load_smpl
+        smpl = load_smpl(args.smpl_path, args.j_regressor_extra or None)
+
+    gmm = None
+    if args.gmm_path:
+        gmm = load_gmm_prior(args.gmm_path)
+    elif args.synthetic_assets and cfg.weight_gmm_loss:
+        gmm = synthetic_gmm_prior(8)
+
+    vposer = None
+    if args.vposer_path:
+        vposer = load_vposer(args.vposer_path)
+    elif args.synthetic_assets and (cfg.weight_vp_loss or cfg.weight_vp_z_loss):
+        vposer = init_vposer(jax.random.PRNGKey(0))
+
+    return build_assets(bundle, smpl, cfg, gmm=gmm, vposer=vposer)
+
+
+def main(argv=None) -> int:
+    from ..data import MultiViewBundle, synthetic_problem
+    from ..fit import NemoConfig, NemoFitter
+    from ..utils import (MetricWriter, Timer, create_latest_child_dir,
+                         dataclass_from_namespace, load_fit_state,
+                         merge_config, save_fit_state)
+
+    args = merge_config(build_parser(), argv)
+    out_dir = create_latest_child_dir(args.out_dir)
+    cfg = dataclass_from_namespace(NemoConfig, args)
+
+    with open(osp.join(out_dir, "config.json"), "w") as f:
+        json.dump({"args": vars(args), "cfg": dataclasses.asdict(cfg)}, f,
+                  indent=2, default=str)
+
+    with Timer("Data loading"):
+        if args.bundle:
+            bundle = MultiViewBundle.load(args.bundle)
+        else:
+            from ..body import synthetic_smpl_model
+            print("[fit] no --bundle given; generating a synthetic problem")
+            bundle, _ = synthetic_problem(synthetic_smpl_model(),
+                                          num_views=4, num_frames=60)
+
+    with Timer("Model init"):
+        assets = load_assets(args, bundle, cfg)
+        fitter = NemoFitter(cfg, assets, seed=args.seed)
+
+    if args.load_ckpt_path:
+        fitter.state = load_fit_state(args.load_ckpt_path, fitter.state)
+        print(f"[fit] resumed from {args.load_ckpt_path} "
+              f"at step {fitter.state.step}")
+
+    metrics_log = MetricWriter(osp.join(out_dir, "metrics.jsonl"))
+
+    if not args.test:
+        init_metrics = fitter.eval_loss()
+        metrics_log.write({"phase": "init", **init_metrics})
+
+        with Timer("Warmup"):
+            wm = fitter.warmup()
+            if wm:
+                metrics_log.write({"phase": "warmup_done",
+                                   "loss": float(wm["warmup_loss"][-1])})
+
+        with Timer("Camera opt"):
+            cm = fitter.opt_cam()
+            if cm:
+                key = "cam_loss" if "cam_loss" in cm else "total_loss"
+                metrics_log.write({"phase": "opt_cam_done",
+                                   "loss": float(cm[key][-1])})
+
+        def on_chunk(f, step, chunk_metrics):
+            ckpt_dir = osp.join(out_dir, "ckpt", f"sd_{step:06d}")
+            save_fit_state(ckpt_dir, f.state, cfg)
+            metrics_log.write({"phase": "fit", "step": step,
+                               **{k: float(v[-1])
+                                  for k, v in chunk_metrics.items()}})
+            print(f"[fit] step {step}: "
+                  f"total={float(chunk_metrics['total_loss'][-1]):.4f} "
+                  f"kp={float(chunk_metrics['kp_loss'][-1]):.4f}")
+
+        with Timer("Main fit"):
+            all_metrics = fitter.fit(chunk=args.save_every,
+                                     on_chunk=on_chunk)
+        np.savez(osp.join(out_dir, "losses.npz"), **all_metrics)
+
+    # final evaluation
+    final = fitter.eval_loss()
+    metrics_log.write({"phase": "final", **final})
+    print("[fit] final:", {k: round(v, 4) for k, v in final.items()})
+
+    # 2D eval CSV + (if GT 3D available) 3D eval CSVs
+    from ..eval import eval_2d, eval_3d, write_csv
+    from ..fit.model import predict, project_to_views
+    import jax.numpy as jnp
+
+    V, F = assets.num_views, assets.num_frames
+    vi = jnp.repeat(jnp.arange(V), F)
+    fi = jnp.tile(jnp.arange(F), V)
+    preds = predict(fitter.state.params, cfg, assets, vi, fi)
+    pts2d = project_to_views(fitter.state.params, cfg, assets, preds["j"], vi)
+    pts2d = np.asarray(pts2d).reshape(V, F, 25, 2)
+
+    if "gt" in bundle.labels:
+        stats2d = eval_2d(pts2d,
+                          {k: v for k, v in bundle.labels.items()
+                           if k != "gt"},
+                          bundle.labels["gt"], bundle.bbox_diag("gt"))
+        write_csv(stats2d, osp.join(out_dir, "eval_2d.csv"))
+    if bundle.gt3d_pose is not None:
+        pred_pose = np.asarray(preds["poses"]).reshape(V, F, 69)
+        baselines = {"vibe": bundle.hmr_theta}
+        stats3d = eval_3d(assets.smpl, pred_pose, bundle.gt3d_pose,
+                          baselines)
+        write_csv(stats3d, osp.join(out_dir, "eval_3d.csv"))
+        stats3d_dyn = eval_3d(assets.smpl, pred_pose, bundle.gt3d_pose,
+                              baselines, dynamic_only=True,
+                              framerate_multiplier=bundle.framerate_multiplier)
+        write_csv(stats3d_dyn, osp.join(out_dir, "eval_3d_dynamic.csv"))
+
+    if args.render_video:
+        from ..render import render_keypoint_rollout
+        render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
+                                pts2d, bundle)
+
+    metrics_log.close()
+    print(f"[fit] outputs in {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,147 @@
+"""Packed multi-view action bundles.
+
+The reference's data layer (nemo/multi_view_sequence.py) reads per-frame
+OpenPose JSONs, GT pickles, VIBE pickles and images at fit time. Here all
+preprocessing happens offline into ONE npz bundle per action, so the fit loop
+touches no Python I/O: every array is dense, fixed-shape, and uploaded to HBM
+once.
+
+Bundle contents (V = views, F = common frame count):
+  labels_<type>: (V, F, 25, 3) 2D keypoints + confidence per label type
+                 ('op', 'gt', 'vibe', ...) — collate_gt_2d's sources
+                 (neural_motion_model.py:2908-2947).
+  hmr_theta:     (V, F, 69) per-frame initializer body pose (VIBE/HMR),
+                 mask in hmr_mask: (V, F, 1) — (:3440-3453).
+  gt3d_pose:     (V, F, 72) mocap GT full pose (optional).
+  gt3d_trans:    (V, F, 3) mocap GT translation (optional).
+  gt_cameras:    (V, 9) ground-truth camera parameters (optional).
+  img_hw:        (2,) image (D0, D1) = (height, width).
+  framerate_multiplier: (V,) per-view timing multiplier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MultiViewBundle:
+    """A packed multi-view action: everything a fit needs, as numpy arrays."""
+    labels: Dict[str, np.ndarray]          # each (V, F, 25, 3)
+    hmr_theta: np.ndarray                  # (V, F, 69)
+    hmr_mask: np.ndarray                   # (V, F, 1)
+    img_hw: np.ndarray                     # (2,) = (D0 height, D1 width)
+    gt3d_pose: Optional[np.ndarray] = None     # (V, F, 72)
+    gt3d_trans: Optional[np.ndarray] = None    # (V, F, 3)
+    gt_cameras: Optional[np.ndarray] = None    # (V, 9)
+    gt_betas: Optional[np.ndarray] = None      # (1, 10)
+    framerate_multiplier: Optional[np.ndarray] = None  # (V,)
+    name: str = "bundle"
+
+    @property
+    def num_views(self) -> int:
+        return next(iter(self.labels.values())).shape[0]
+
+    @property
+    def num_frames(self) -> int:
+        return next(iter(self.labels.values())).shape[1]
+
+    @property
+    def img_d0(self) -> float:
+        return float(self.img_hw[0])
+
+    @property
+    def img_d1(self) -> float:
+        return float(self.img_hw[1])
+
+    def label(self, label_type: str) -> np.ndarray:
+        """2D supervision of the given type, with the 'intersection' blend.
+
+        'intersection' averages op and gt positions and gates confidence on
+        their agreement (collate_gt_2d :2929-2945).
+        """
+        if label_type in self.labels:
+            return self.labels[label_type]
+        if label_type == "intersection":
+            gt1 = self.labels["op"]
+            gt2 = self.labels["gt"]
+            mean = (gt1[..., :2] + gt2[..., :2]) / 2
+            dist = np.sqrt(((gt1[..., :2] - gt2[..., :2]) ** 2)
+                           .sum(-1, keepdims=True))
+            conf = (dist < 30.0).astype(np.float32) * gt1[..., -1:]
+            return np.concatenate([mean, conf], -1)
+        raise KeyError(f"label type {label_type!r} not in bundle "
+                       f"(have {sorted(self.labels)})")
+
+    def bbox_diag(self, label_type: str) -> np.ndarray:
+        """Keypoint-extent bbox diagonal per (view, frame): (V, F).
+
+        The 1e-4 shift keeps empty frames from producing a 0 size (whose
+        sqrt would NaN gradients downstream) — collate_gt_2d :2950-2960.
+        """
+        pts = self.label(label_type)
+        d0 = pts[..., 0].max(-1) - pts[..., 0].min(-1)
+        d1 = pts[..., 1].max(-1) - pts[..., 1].min(-1)
+        return np.sqrt(d0 ** 2 + d1 ** 2) + 1e-4
+
+    # -- serialization ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        payload = {
+            "img_hw": self.img_hw,
+            "hmr_theta": self.hmr_theta,
+            "hmr_mask": self.hmr_mask,
+            "name": np.asarray(self.name),
+        }
+        for k, v in self.labels.items():
+            payload[f"labels_{k}"] = v
+        for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
+                  "framerate_multiplier"):
+            v = getattr(self, k)
+            if v is not None:
+                payload[k] = v
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path: str) -> "MultiViewBundle":
+        data = np.load(path, allow_pickle=False)
+        labels = {k[len("labels_"):]: data[k] for k in data.files
+                  if k.startswith("labels_")}
+        kwargs = {}
+        for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
+                  "framerate_multiplier"):
+            if k in data.files:
+                kwargs[k] = data[k]
+        return cls(labels=labels, hmr_theta=data["hmr_theta"],
+                   hmr_mask=data["hmr_mask"], img_hw=data["img_hw"],
+                   name=str(data["name"]) if "name" in data.files else "bundle",
+                   **kwargs)
+
+
+def resample_to_common_frames(per_view_arrays, num_frames: int,
+                              start_phase: float = 0.0):
+    """Resample per-view sequences of differing lengths to a common grid.
+
+    Mirrors multi_view_sequence.py:411-414: phase p -> source index
+    floor(p * n_view_frames) with p = linspace(start_phase, 1, num_frames),
+    clamped to the last frame.
+
+    Args:
+      per_view_arrays: list over views of (F_v, ...) arrays.
+      num_frames: target common frame count.
+    Returns:
+      (V, num_frames, ...) stacked array.
+    """
+    out = []
+    phases = np.linspace(start_phase, 1.0, num_frames)
+    for arr in per_view_arrays:
+        n = arr.shape[0]
+        tidx = np.minimum((phases * n).astype(np.int64), n - 1)
+        out.append(arr[tidx])
+    return np.stack(out)

@@ -1,0 +1,86 @@
+"""VIBE output ingestion: tracklet pickles -> dense per-frame arrays.
+
+Behavioral reference: nemo/multi_view_sequence.py:30-89 —
+prepare_person_dict scatters a tracklet's frames into dense (max_frames, ...)
+arrays with a validity mask; select_person_at_center picks the tracked
+person whose mean 2D joints are closest to the GT 2D center.
+
+A vibe_output.pkl maps person-id -> dict with keys like 'pose' (F, 72),
+'betas', 'joints3d', 'joints2d_img_coord'/'smpl_joints2d', 'frame_ids'.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def densify_person(person: Dict[str, np.ndarray], max_frames: int
+                   ) -> Dict[str, np.ndarray]:
+    """Scatter one tracklet into dense (max_frames, ...) arrays + 'mask'."""
+    out: Dict[str, np.ndarray] = {}
+    frame_ids = np.asarray(person["frame_ids"])
+    for key, val in person.items():
+        if key in ("betas", "frame_ids") or val is None:
+            if val is not None:
+                out[key] = np.asarray(val)
+            continue
+        val = np.asarray(val)
+        dense = np.zeros((max_frames,) + val.shape[1:], np.float32)
+        dense[frame_ids] = val
+        out[key] = dense
+    mask = np.zeros(max_frames, np.float32)
+    mask[frame_ids] = 1.0
+    out["mask"] = mask
+    return out
+
+
+def select_person_near_gt(people: Dict, gt_2d: np.ndarray
+                          ) -> Optional[Dict[str, np.ndarray]]:
+    """Pick the person whose joint-center track best matches the GT 2D.
+
+    people: {pid: densified person dict}; gt_2d: (F, K, >=2).
+    """
+    if not people:
+        return None
+    gt_centers = gt_2d[..., :2].mean(1)            # (F, 2)
+    best, best_dist = None, np.inf
+    for pid, person in people.items():
+        j2d = person.get("joints2d_img_coord",
+                         person.get("smpl_joints2d"))
+        if j2d is None:
+            continue
+        centers = j2d[:, :15, :2].mean(1)
+        m = person["mask"]
+        dist = (np.sqrt(((centers - gt_centers) ** 2).sum(-1)) * m).sum() \
+            / max(m.sum(), 1)
+        if dist < best_dist:
+            best, best_dist = person, dist
+    return best
+
+
+def load_vibe_pickle(path: str, max_frames: int,
+                     gt_2d: Optional[np.ndarray] = None
+                     ) -> Optional[Dict[str, np.ndarray]]:
+    """Load vibe_output.pkl, densify all tracklets and select one person.
+
+    Uses joblib-compatible loading (the reference dumps with joblib).
+    If gt_2d is None, the longest tracklet wins.
+    """
+    import joblib
+    raw = joblib.load(path)
+    people = {pid: densify_person(p, max_frames) for pid, p in raw.items()}
+    if not people:
+        return None
+    if gt_2d is not None:
+        return select_person_near_gt(people, gt_2d)
+    return max(people.values(), key=lambda p: p["mask"].sum())
+
+
+def vibe_to_theta(person: Dict[str, np.ndarray]) -> np.ndarray:
+    """(F, 70): body pose 69 + validity column, the reference's 'pose' layout
+    consumed at neural_motion_model.py:3444-3447 (theta = pose[:, 3:-1])."""
+    pose = person["pose"]          # (F, 72) full axis-angle incl. orient
+    mask = person["mask"][:, None]
+    return np.concatenate([pose[:, 3:], mask], axis=1)

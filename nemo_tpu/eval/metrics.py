@@ -1,0 +1,251 @@
+"""Evaluation metrics: MPJPE / MPVPE / PA variants / PCK / 2D RMSE.
+
+Behavioral reference: nemo/neural_motion_model.py eval_2d :522-710, eval_3d
+:1056-1282, dynamic masking :1082-1116, eval_3d_global :992-1054; metric math
+from nemo/utils/pose_utils.py:148-159.
+
+TPU-first: the reference runs SMPL batch=1 in a Python double loop per
+(view, frame); here each comparison set is ONE batched smpl_forward over the
+whole (V, F) grid, and final reductions are float64 on host for CSV parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..body.smpl import SMPLModel, smpl_forward
+from ..geometry.procrustes import reconstruction_error_np, similarity_transform_np
+
+
+def smpl_grid_forward(model: SMPLModel, body_pose_aa: np.ndarray,
+                      want_vertices: bool = True,
+                      chunk: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """SMPL forward over a flattened grid of axis-angle body poses.
+
+    body_pose_aa: (N, 69); identity global orient, zero betas — matching the
+    reference's eval calls smpl(betas=None, global_orient=None, body_pose,
+    pose2rot=True) (:1141-1152).
+    Returns (vertices (N, V, 3) or None, joints49 (N, 49, 3)).
+    """
+    N = body_pose_aa.shape[0]
+    fn = jax.jit(lambda p: smpl_forward(
+        model, jnp.zeros((1, 10)), p.reshape(-1, 69), jnp.zeros((p.shape[0], 3)),
+        pose2rot=True, want_vertices=want_vertices))
+    verts_out, joints_out = [], []
+    for i in range(0, N, chunk):
+        v, j = fn(jnp.asarray(body_pose_aa[i:i + chunk]))
+        joints_out.append(np.asarray(j))
+        if want_vertices:
+            verts_out.append(np.asarray(v))
+    joints = np.concatenate(joints_out)
+    verts = np.concatenate(verts_out) if want_vertices else None
+    return verts, joints
+
+
+def dynamic_frame_mask(gt_joints15: np.ndarray,
+                       framerate_multiplier: float = 1.0,
+                       fps: float = 30.0,
+                       vel_threshold: float = 2.0) -> np.ndarray:
+    """Dynamic-range mask for one view (:1082-1116).
+
+    gt_joints15: (F, 15, 3). A frame is dynamic when the max GT joint speed
+    is >= vel_threshold m/s; the mask covers the CONTIGUOUS span from the
+    first to the last dynamic frame (the reference fills inds.min()..max()).
+    """
+    F = gt_joints15.shape[0]
+    diff = gt_joints15[1:] - gt_joints15[:-1]
+    vel = np.sqrt((diff ** 2).sum(-1)) * (fps * framerate_multiplier)
+    vel_max = vel.max(1)
+    mask = np.zeros(F)
+    inds = np.where(vel_max >= vel_threshold)[0]
+    if len(inds):
+        mask[inds.min():inds.max()] = 1
+    return mask
+
+
+def eval_3d(model: SMPLModel,
+            pred_pose: np.ndarray,
+            gt_pose: np.ndarray,
+            baselines: Optional[Dict[str, np.ndarray]] = None,
+            baseline_masks: Optional[Dict[str, np.ndarray]] = None,
+            dynamic_only: bool = False,
+            framerate_multiplier: Optional[np.ndarray] = None,
+            ) -> Dict[str, list]:
+    """Per-view MPJPE/MPVPE table (eval_3d :1056-1282).
+
+    Args:
+      pred_pose: (V, F, 69) predicted body pose (axis-angle).
+      gt_pose: (V, F, 72) GT full pose; joints from gt_pose[..., 3:] with
+        identity global orient, exactly like the reference.
+      baselines: optional {name: (V, F, 69)} body poses (vibe/vs/pare/glamr).
+      dynamic_only: restrict frames to the GT high-velocity span.
+    Returns:
+      {column: [per-view values]} with the reference's column names.
+    """
+    V, F = pred_pose.shape[:2]
+    baselines = baselines or {}
+
+    def grid(poses69):
+        v, j = smpl_grid_forward(model, poses69.reshape(V * F, 69))
+        return (v.reshape(V, F, -1, 3), j.reshape(V, F, 49, 3)[..., :15, :])
+
+    v_gt, j_gt = grid(gt_pose[..., 3:])
+    v_pred, j_pred = grid(pred_pose)
+    base_grids = {k: grid(p) for k, p in baselines.items()}
+
+    if dynamic_only:
+        fr = (framerate_multiplier if framerate_multiplier is not None
+              else np.ones(V))
+        masks = np.stack([dynamic_frame_mask(j_gt[v], fr[v])
+                          for v in range(V)])
+    else:
+        masks = np.ones((V, F))
+
+    stats: Dict[str, list] = {}
+
+    def add(name, v_cmp, j_cmp):
+        for v in range(V):
+            sel = masks[v] > 0
+            mpvpe = 1000 * reconstruction_error_np(v_gt[v][sel],
+                                                   v_cmp[v][sel], pa=False)
+            mpjpe = 1000 * reconstruction_error_np(j_gt[v][sel],
+                                                   j_cmp[v][sel], pa=False)
+            stats.setdefault(f"mpjpe-{name}", []).append(float(mpjpe))
+            stats.setdefault(f"mpvpe-{name}", []).append(float(mpvpe))
+
+    add("ours", v_pred, j_pred)
+    for k, (vb, jb) in base_grids.items():
+        add(k, vb, jb)
+    return stats
+
+
+def eval_3d_pa(model: SMPLModel, pred_pose: np.ndarray, gt_pose: np.ndarray
+               ) -> Dict[str, list]:
+    """PA-MPJPE per view (Procrustes-aligned variant, pose_utils pa=True)."""
+    V, F = pred_pose.shape[:2]
+    _, j_gt = smpl_grid_forward(model, gt_pose[..., 3:].reshape(V * F, 69),
+                                want_vertices=False)
+    _, j_pred = smpl_grid_forward(model, pred_pose.reshape(V * F, 69),
+                                  want_vertices=False)
+    j_gt = j_gt.reshape(V, F, 49, 3)[..., :15, :]
+    j_pred = j_pred.reshape(V, F, 49, 3)[..., :15, :]
+    out = {"pa_mpjpe-ours": []}
+    for v in range(V):
+        out["pa_mpjpe-ours"].append(float(
+            1000 * reconstruction_error_np(j_gt[v], j_pred[v], pa=True)))
+    return out
+
+
+def rmse_2d(pred: np.ndarray, gt: np.ndarray, conf: np.ndarray) -> float:
+    """2D recon error (eval_2d's keypoint_loss 'rmse' then .mean()).
+
+    NOTE: the mean runs over ALL entries including confidence-gated zeros —
+    replicating :631-636 exactly.
+    """
+    gate = (conf > 0.5).astype(np.float64)
+    rmse = gate * np.sqrt(1e-6 + ((pred - gt) ** 2).sum(-1, keepdims=True))
+    return float(rmse.mean())
+
+
+def pck_2d(pred: np.ndarray, gt: np.ndarray, conf: np.ndarray,
+           bbox_diag: np.ndarray, thresh: float = 0.05) -> float:
+    """PCK @ thresh * bbox diagonal, % (f_pck :524-531)."""
+    gate = (conf > 0.5).astype(np.float64)
+    rmse = np.sqrt(1e-6 + ((pred - gt) ** 2).sum(-1, keepdims=True))
+    size = bbox_diag[..., None, None]
+    count = (gate * (rmse < thresh * size)).sum()
+    total = gate.sum()
+    return float(100.0 * count / max(total, 1))
+
+
+def eval_2d(points2d_pred: np.ndarray,
+            labels: Dict[str, np.ndarray],
+            gt_label: np.ndarray,
+            bbox_diag: np.ndarray) -> Dict[str, list]:
+    """Per-view 2D table (eval_2d :522-710): first 15 joints only.
+
+    Args:
+      points2d_pred: (V, F, 25, 2) projected predictions.
+      labels: {name: (V, F, 25, >=2)} baseline 2D sets (op/vibe/vs/pare).
+      gt_label: (V, F, 25, 3) GT 2D with confidence.
+      bbox_diag: (V, F).
+    """
+    V = points2d_pred.shape[0]
+    stats: Dict[str, list] = {}
+
+    def add(name, pts):
+        for v in range(V):
+            p = pts[v][:, :15, :2]
+            g = gt_label[v][:, :15, :2]
+            c = gt_label[v][:, :15, 2:]
+            stats.setdefault(f"recon_error_2d-{name}", []).append(
+                rmse_2d(p, g, c))
+            stats.setdefault(f"pck-{name}", []).append(
+                pck_2d(p, g, c, bbox_diag[v]))
+
+    add("ours", points2d_pred)
+    for k, pts in labels.items():
+        add(k, pts)
+    return stats
+
+
+def eval_3d_global(model: SMPLModel,
+                   pred_pose: np.ndarray, pred_trans: np.ndarray,
+                   gt_pose: np.ndarray, gt_trans: np.ndarray,
+                   ) -> Dict[str, list]:
+    """Global-frame errors after frame-0 similarity alignment
+    (eval_3d_global :992-1054 + rigid_transform_to_gt :1490-1651).
+
+    Poses include global orientation here (columns 0:3 of the 72-d pose);
+    predictions and GT are both placed in their world frames via their
+    translations, aligned by the similarity transform computed on frame-0
+    vertices, then compared.
+    """
+    V, F = pred_pose.shape[:2]
+
+    def world(poses72, trans):
+        fn = jax.jit(lambda p, t: smpl_forward(
+            model, jnp.zeros((1, 10)), p[:, 3:], p[:, :3], pose2rot=True,
+            want_vertices=True, transl=t))
+        vs, js = [], []
+        for v in range(V):
+            vv, jj = fn(jnp.asarray(poses72[v]), jnp.asarray(trans[v]))
+            vs.append(np.asarray(vv))
+            js.append(np.asarray(jj)[:, :15])
+        return np.stack(vs), np.stack(js)
+
+    v_gt, j_gt = world(gt_pose, gt_trans)
+    pred72 = np.concatenate([pred_pose[..., :3] * 0, pred_pose], -1) \
+        if pred_pose.shape[-1] == 69 else pred_pose
+    v_pr, j_pr = world(pred72, pred_trans)
+
+    stats: Dict[str, list] = {"g_mpjpe-ours": [], "g_mpvpe-ours": []}
+    for v in range(V):
+        # similarity transform from frame-0 vertices, applied to all frames
+        _, (s, R, t) = similarity_transform_np(v_pr[v, 0], v_gt[v, 0])
+        align = lambda X: s * X @ R.T + t
+        vj = align(j_pr[v].reshape(-1, 3)).reshape(j_pr[v].shape)
+        vv = align(v_pr[v].reshape(-1, 3)).reshape(v_pr[v].shape)
+        stats["g_mpjpe-ours"].append(float(
+            1000 * reconstruction_error_np(vj, j_gt[v], pa=False)))
+        stats["g_mpvpe-ours"].append(float(
+            1000 * reconstruction_error_np(vv, v_gt[v], pa=False)))
+    return stats
+
+
+def write_csv(stats: Dict[str, list], path: str) -> None:
+    """pandas-compatible CSV (index column first, like df.to_csv)."""
+    import csv
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cols = list(stats.keys())
+    n = len(next(iter(stats.values()))) if stats else 0
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([""] + cols)
+        for i in range(n):
+            w.writerow([i] + [stats[c][i] for c in cols])

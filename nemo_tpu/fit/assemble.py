@@ -1,0 +1,34 @@
+"""Glue: build NemoAssets from a data bundle + frozen model components."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..body.smpl import SMPLModel
+from ..data.bundle import MultiViewBundle
+from ..priors.gmm import GMMPrior
+from .model import NemoAssets, NemoConfig
+
+
+def build_assets(bundle: MultiViewBundle, smpl: SMPLModel,
+                 cfg: NemoConfig, gmm: Optional[GMMPrior] = None,
+                 vposer=None) -> NemoAssets:
+    """Collate the 2D supervision and pack everything device-side.
+
+    Mirrors MultiViewModel.collate_gt_2d (:2908-2961) + the hmr theta stack
+    (:3440-3453), as one-time host work producing static device arrays.
+    """
+    labels = bundle.label(cfg.label_type)
+    return NemoAssets(
+        smpl=smpl,
+        gmm=gmm,
+        vposer=vposer,
+        points2d_gt=jnp.asarray(labels),
+        bbox_diag=jnp.asarray(bundle.bbox_diag(cfg.label_type)),
+        hmr_theta=jnp.asarray(bundle.hmr_theta),
+        hmr_mask=jnp.asarray(bundle.hmr_mask),
+        img_d0=bundle.img_d0,
+        img_d1=bundle.img_d1,
+    )

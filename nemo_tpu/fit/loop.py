@@ -1,0 +1,236 @@
+"""On-device fit loops: warmup -> camera stage -> main optimization.
+
+Behavioral reference: scripts/learned_multi_view_recon_nn.py:211-335 (the
+three-stage schedule) and NemoV1-V4 warmup/opt_cam/step.
+
+TPU-first structure: each stage is ONE jitted lax.scan over its steps —
+random (view, frame) batches are drawn on-device from a folded PRNG key,
+losses come back as stacked arrays per chunk, and nothing syncs to the host
+inside a stage. Checkpointing splits the main stage into chunks (default 500
+steps, the reference's save cadence) with a host callback between chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import (NemoAssets, NemoConfig, Params, camera_stage_loss,
+                    fit_loss, warmup_loss)
+from .optimizer import (GroupOptimizer, PlateauState, make_camera_stage_optimizer,
+                        make_optimizer, plateau_init_all, plateau_update_all)
+
+
+def _sample_batch(key, batch_size: int, num_views: int, num_frames: int):
+    kv, kf = jax.random.split(key)
+    view_idx = jax.random.randint(kv, (batch_size,), 0, num_views)
+    frame_idx = jax.random.randint(kf, (batch_size,), 0, num_frames)
+    return view_idx, frame_idx
+
+
+@dataclasses.dataclass
+class FitState:
+    """Everything carried across stages (and into checkpoints)."""
+    params: Params
+    opt_state: Dict[str, Any]
+    plateau: Dict[str, PlateauState]
+    key: jax.Array
+    step: int = 0
+
+
+class NemoFitter:
+    """Drives the three-stage NeMo optimization for one action.
+
+    Equivalent surface to MultiViewModel+NemoV{k} minus rendering:
+    warmup(), opt_cam(), fit(), plus loss evaluation and prediction
+    helpers live in eval/ and fit/model.py.
+    """
+
+    def __init__(self, cfg: NemoConfig, assets: NemoAssets,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.assets = assets
+        self.optimizer = make_optimizer(cfg)
+        key = jax.random.PRNGKey(seed)
+        k_init, k_run = jax.random.split(key)
+        from .model import init_params
+        params = init_params(k_init, cfg, assets.num_views, assets.img_d0)
+        self.state = FitState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            plateau=plateau_init_all(cfg),
+            key=k_run,
+        )
+        self._compiled: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # stage scan builders
+    # ------------------------------------------------------------------
+
+    def _stage_scan(self, stage: str, steps: int):
+        """Build (or fetch) the compiled scan for a stage at a step count."""
+        cache_key = (stage, steps)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+
+        cfg, assets, opt = self.cfg, self.assets, self.optimizer
+        V, F, B = assets.num_views, assets.num_frames, cfg.batch_size
+
+        if stage == "warmup":
+            active = ("motion", "rbf", "phase")
+
+            def body(carry, _):
+                params, opt_state, plateau, key = carry
+                key, k1, k2 = jax.random.split(key, 3)
+                vi, fi = _sample_batch(k1, B, V, F)
+                (loss, metrics), grads = jax.value_and_grad(
+                    warmup_loss, has_aux=True)(params, cfg, assets, vi, fi)
+                updates, opt_state = opt.update(grads, opt_state, params,
+                                                active=active)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates)
+                return (params, opt_state, plateau, key), metrics
+
+        elif stage == "camera":
+            if cfg.model_version >= 4:
+                active = ("cameras", "motion", "rbf", "phase", "instance")
+
+                def body(carry, _):
+                    params, opt_state, plateau, key = carry
+                    key, k1, k2 = jax.random.split(key, 3)
+                    vi, fi = _sample_batch(k1, B, V, F)
+                    (loss, metrics), grads = jax.value_and_grad(
+                        camera_stage_loss, has_aux=True)(
+                            params, cfg, assets, vi, fi, key=k2)
+                    updates, opt_state = opt.update(grads, opt_state, params,
+                                                    active=active)
+                    params = jax.tree_util.tree_map(
+                        lambda p, u: p + u, params, updates)
+                    return (params, opt_state, plateau, key), metrics
+            else:
+                # V0-V3: frame 0 of every view, fresh Adam on cameras only
+                # (:2869-2906). The temporary optimizer state lives in the
+                # scan carry and is discarded at stage end.
+                cam_opt = make_camera_stage_optimizer(cfg)
+                vi_fixed = jnp.arange(V)
+                fi_fixed = jnp.zeros(V, jnp.int32)
+
+                def body(carry, _):
+                    params, cam_state, plateau, key = carry
+                    (loss, metrics), grads = jax.value_and_grad(
+                        camera_stage_loss, has_aux=True)(
+                            params, cfg, assets, vi_fixed, fi_fixed)
+                    updates, cam_state = cam_opt.update(
+                        {"cameras": grads["cameras"]}, cam_state,
+                        {"cameras": params["cameras"]}, active=("cameras",))
+                    params = dict(params)
+                    params["cameras"] = params["cameras"] + updates["cameras"]
+                    return (params, cam_state, plateau, key), metrics
+
+        elif stage == "main":
+            def body(carry, _):
+                params, opt_state, plateau, key = carry
+                key, k1, k2 = jax.random.split(key, 3)
+                vi, fi = _sample_batch(k1, B, V, F)
+                (loss, metrics), grads = jax.value_and_grad(
+                    fit_loss, has_aux=True)(params, cfg, assets, vi, fi,
+                                            key=k2, training=True)
+                updates, opt_state = opt.update(grads, opt_state, params,
+                                                plateau=plateau)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates)
+                plateau = plateau_update_all(plateau, loss, cfg)
+                return (params, opt_state, plateau, key), metrics
+        else:
+            raise ValueError(stage)
+
+        @jax.jit
+        def run(carry):
+            return jax.lax.scan(body, carry, None, length=steps)
+
+        self._compiled[cache_key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    # public stages (mirroring warmup / opt_cam / the entry step loop)
+    # ------------------------------------------------------------------
+
+    def warmup(self, steps: Optional[int] = None) -> Dict[str, np.ndarray]:
+        steps = self.cfg.warmup_step if steps is None else steps
+        if steps <= 0:
+            return {}
+        run = self._stage_scan("warmup", steps)
+        st = self.state
+        carry = (st.params, st.opt_state, st.plateau, st.key)
+        (params, opt_state, plateau, key), metrics = run(carry)
+        self.state = FitState(params, opt_state, plateau, key, st.step)
+        return {k: np.asarray(v) for k, v in metrics.items()}
+
+    def opt_cam(self, steps: Optional[int] = None) -> Dict[str, np.ndarray]:
+        steps = self.cfg.opt_cam_step if steps is None else steps
+        if steps <= 0:
+            return {}
+        run = self._stage_scan("camera", steps)
+        st = self.state
+        if self.cfg.model_version >= 4:
+            carry = (st.params, st.opt_state, st.plateau, st.key)
+            (params, opt_state, plateau, key), metrics = run(carry)
+            self.state = FitState(params, opt_state, plateau, key, st.step)
+        else:
+            cam_opt = make_camera_stage_optimizer(self.cfg)
+            cam_state = cam_opt.init({"cameras": st.params["cameras"]})
+            carry = (st.params, cam_state, st.plateau, st.key)
+            (params, _, plateau, key), metrics = run(carry)
+            # fresh-cam-Adam state is dropped; main loop uses its own.
+            self.state = FitState(params, st.opt_state, plateau, key, st.step)
+        return {k: np.asarray(v) for k, v in metrics.items()}
+
+    def fit(self, steps: Optional[int] = None, chunk: int = 500,
+            on_chunk: Optional[Callable[["NemoFitter", int, dict], None]] = None
+            ) -> Dict[str, np.ndarray]:
+        """Main optimization loop, chunked for checkpoint emission.
+
+        on_chunk(fitter, step, metrics) runs on the host between chunks
+        (the reference saves every 500 steps, entry :248-252).
+        """
+        steps = self.cfg.n_steps if steps is None else steps
+        all_metrics: Dict[str, list] = {}
+        done = 0
+        while done < steps:
+            n = min(chunk, steps - done)
+            run = self._stage_scan("main", n)
+            st = self.state
+            carry = (st.params, st.opt_state, st.plateau, st.key)
+            (params, opt_state, plateau, key), metrics = run(carry)
+            self.state = FitState(params, opt_state, plateau, key,
+                                  st.step + n)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for k, v in metrics.items():
+                all_metrics.setdefault(k, []).append(v)
+            done += n
+            if on_chunk is not None:
+                on_chunk(self, self.state.step, metrics)
+        return {k: np.concatenate(v) for k, v in all_metrics.items()}
+
+    # ------------------------------------------------------------------
+    # evaluation helpers
+    # ------------------------------------------------------------------
+
+    def eval_loss(self, batch_size: Optional[int] = None
+                  ) -> Dict[str, float]:
+        """Loss on the FULL (view, frame) grid without updating (the
+        reference's step(update=False, full_batch=True), entry :220-226)."""
+        assets = self.assets
+        V, F = assets.num_views, assets.num_frames
+        vi = jnp.repeat(jnp.arange(V), F)
+        fi = jnp.tile(jnp.arange(F), V)
+        _, metrics = jax.jit(
+            functools.partial(fit_loss, cfg=self.cfg, assets=assets,
+                              training=False))(
+            self.state.params, view_idx=vi, frame_idx=fi)
+        return {k: float(v) for k, v in metrics.items()}

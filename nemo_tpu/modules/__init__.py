@@ -1,0 +1,24 @@
+"""Neural modules (functional param-pytree style)."""
+
+from .networks import (
+    IDENTITY_6D,
+    RBF_KERNELS,
+    apply_fcnn,
+    apply_monotonic_all_views,
+    apply_monotonic_gather,
+    apply_monotonic_single,
+    apply_motion_net,
+    apply_rbf,
+    init_fcnn,
+    init_monotonic,
+    init_motion_net,
+    init_rbf,
+    rbf_centres,
+)
+
+__all__ = [
+    "IDENTITY_6D", "RBF_KERNELS", "apply_fcnn", "apply_monotonic_all_views",
+    "apply_monotonic_gather", "apply_monotonic_single", "apply_motion_net",
+    "apply_rbf", "init_fcnn", "init_monotonic", "init_motion_net", "init_rbf",
+    "rbf_centres",
+]

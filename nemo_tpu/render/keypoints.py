@@ -1,0 +1,97 @@
+"""Host-side visualization: keypoint overlays and phase-warp plots.
+
+Behavioral reference: the reference's matplotlib figure surface —
+render_rollout_keypoint_figure, phase plots (entry script :316-328), loss
+curves (:271-281). Mesh rendering (pyrender) is intentionally separate (the
+reference pins it to OSMesa GL); keypoint/skeleton overlays cover the
+quantitative debugging loop and run anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+# BODY_25 skeleton edges (OpenPose convention)
+OP25_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (1, 8),
+    (8, 9), (9, 10), (10, 11), (8, 12), (12, 13), (13, 14), (0, 15),
+    (15, 17), (0, 16), (16, 18), (14, 21), (14, 19), (19, 20), (11, 24),
+    (11, 22), (22, 23),
+]
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def draw_skeleton(ax, pts25: np.ndarray, color: str = "C0",
+                  conf: Optional[np.ndarray] = None) -> None:
+    ok = np.ones(len(pts25), bool) if conf is None else (conf[..., 0] > 0.5)
+    for a, b in OP25_EDGES:
+        if ok[a] and ok[b]:
+            ax.plot([pts25[a, 0], pts25[b, 0]], [pts25[a, 1], pts25[b, 1]],
+                    c=color, lw=1)
+    ax.scatter(pts25[ok, 0], pts25[ok, 1], c=color, s=4)
+
+
+def render_keypoint_rollout(path: str, pts2d_pred: np.ndarray, bundle,
+                            num_frames: int = 5, num_views: int = 3) -> None:
+    """Grid of [GT, OP, pred] skeleton overlays (render :282-…)."""
+    plt = _plt()
+    V = min(bundle.num_views, num_views)
+    Fidx = np.linspace(0, bundle.num_frames - 1, num_frames).astype(int)
+    fig, axs = plt.subplots(3, V * num_frames // num_frames,
+                            figsize=(3 * num_frames, 9))
+    gt = bundle.labels.get("gt")
+    op = bundle.labels.get("op")
+    fig, axs = plt.subplots(3, num_frames, figsize=(3 * num_frames, 9))
+    v = 0
+    for col, f in enumerate(Fidx):
+        rows = [("gt", gt), ("op", op), ("pred", None)]
+        for row, (name, data) in enumerate(rows):
+            ax = axs[row, col] if num_frames > 1 else axs[row]
+            ax.set_xticks([]), ax.set_yticks([])
+            ax.invert_yaxis()
+            if name == "pred":
+                draw_skeleton(ax, pts2d_pred[v, f], "C2")
+            elif data is not None:
+                draw_skeleton(ax, data[v, f, :, :2], "C0",
+                              data[v, f, :, 2:])
+            if col == 0:
+                ax.set_ylabel(name)
+    fig.savefig(path, bbox_inches="tight", dpi=80)
+    plt.close(fig)
+
+
+def render_phase_plot(path: str, phase_params: dict, num_views: int) -> None:
+    """Learned monotonic warps over [0, 1] (entry script :316-328)."""
+    import jax.numpy as jnp
+    from ..modules import apply_monotonic_all_views
+    plt = _plt()
+    x = jnp.linspace(0, 1, 100)[:, None]
+    ys = np.asarray(apply_monotonic_all_views(phase_params, x))
+    fig = plt.figure()
+    for v in range(num_views):
+        plt.plot(np.asarray(x)[:, 0], ys[v, :, 0], label=str(v))
+    plt.legend(), plt.xlim(0, 1), plt.ylim(0, 1)
+    plt.xlabel("raw phase"), plt.ylabel("warped phase")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def render_loss_curves(out_dir: str, losses: dict) -> None:
+    """One PNG per loss channel (entry :271-281)."""
+    import os
+    plt = _plt()
+    for name, values in losses.items():
+        fig = plt.figure()
+        plt.plot(np.arange(len(values)), np.asarray(values))
+        plt.xlabel("step"), plt.ylabel(name)
+        fig.savefig(os.path.join(out_dir, f"{name}.png"),
+                    bbox_inches="tight")
+        plt.close(fig)

@@ -1,0 +1,134 @@
+"""Data layer tests: bundles, synthetic problems, ingestion adapters."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nemo_tpu.body import synthetic_smpl_model
+from nemo_tpu.data import (
+    MultiViewBundle, densify_person, load_openpose_dir, monotone_warp,
+    parse_openpose_json, penn_gt_to_op, resample_to_common_frames,
+    select_person_near_gt, smooth_motion, synthetic_problem, vibe_to_theta,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return synthetic_smpl_model(num_vertices=300, seed=1)
+
+
+class TestBundle:
+    def test_save_load_roundtrip(self, tmp_path, tiny_model):
+        bundle, _ = synthetic_problem(tiny_model, num_views=2, num_frames=8)
+        p = str(tmp_path / "b.npz")
+        bundle.save(p)
+        loaded = MultiViewBundle.load(p)
+        assert loaded.num_views == 2
+        assert loaded.num_frames == 8
+        np.testing.assert_allclose(loaded.labels["gt"], bundle.labels["gt"])
+        np.testing.assert_allclose(loaded.hmr_theta, bundle.hmr_theta)
+        np.testing.assert_allclose(loaded.gt_cameras, bundle.gt_cameras)
+
+    def test_bbox_diag_positive(self, tiny_model):
+        bundle, _ = synthetic_problem(tiny_model, num_views=2, num_frames=8)
+        d = bundle.bbox_diag("gt")
+        assert d.shape == (2, 8)
+        assert (d > 0).all()
+
+    def test_intersection_label(self, tiny_model):
+        bundle, _ = synthetic_problem(tiny_model, num_views=2, num_frames=4)
+        inter = bundle.label("intersection")
+        # op == gt in the synthetic bundle, so intersection keeps everything
+        np.testing.assert_allclose(inter[..., :2], bundle.labels["gt"][..., :2])
+        np.testing.assert_allclose(inter[..., 2], bundle.labels["gt"][..., 2])
+
+    def test_resample(self):
+        arrs = [np.arange(10)[:, None], np.arange(20)[:, None]]
+        out = resample_to_common_frames(arrs, 5)
+        assert out.shape == (2, 5, 1)
+        assert out[0, 0, 0] == 0 and out[0, -1, 0] == 9
+        assert out[1, -1, 0] == 19
+
+
+class TestSynthetic:
+    def test_motion_smooth_and_anchored(self):
+        pose, trans = smooth_motion(50, seed=0)
+        assert pose.shape == (50, 24, 3)
+        np.testing.assert_allclose(trans[0], 0.0, atol=1e-6)
+        # smooth: consecutive frame deltas are small
+        assert np.abs(np.diff(pose, axis=0)).max() < 0.5
+
+    def test_warp_monotone(self):
+        p = np.linspace(0, 1, 100)
+        w = monotone_warp(p, strength=0.8, seed=3)
+        assert (np.diff(w) >= -1e-9).all()
+        assert abs(w[0]) < 1e-6 and abs(w[-1] - 1) < 1e-6
+
+    def test_problem_projections_in_image(self, tiny_model):
+        bundle, truth = synthetic_problem(tiny_model, num_views=3,
+                                          num_frames=10)
+        pts = bundle.labels["gt"][..., :2]
+        # most keypoints should land within a sane region around the image
+        d0, d1 = bundle.img_hw
+        frac_in = ((pts[..., 0] > -d1) & (pts[..., 0] < 2 * d1) &
+                   (pts[..., 1] > -d0) & (pts[..., 1] < 2 * d0)).mean()
+        assert frac_in > 0.9
+
+
+class TestOpenPose:
+    def test_parse_and_dir(self, tmp_path):
+        kp = np.random.rand(25, 3).astype(np.float32)
+        rec = {"people": [{"pose_keypoints_2d": kp.ravel().tolist()}]}
+        for i, content in enumerate([rec, {"people": []}]):
+            with open(tmp_path / f"{i:06d}_keypoints.json", "w") as f:
+                json.dump(content, f)
+        out = load_openpose_dir(str(tmp_path))
+        assert out.shape == (2, 25, 3)
+        np.testing.assert_allclose(out[0], kp, atol=1e-6)
+        np.testing.assert_allclose(out[1], 0.0)  # empty frame -> zeros
+
+
+class TestVibe:
+    def test_densify_and_select(self):
+        person = {
+            "pose": np.ones((3, 72), np.float32),
+            "betas": np.zeros(10, np.float32),
+            "frame_ids": np.array([0, 2, 4]),
+            "joints2d_img_coord": np.full((3, 25, 2), 5.0, np.float32),
+        }
+        dense = densify_person(person, 6)
+        assert dense["pose"].shape == (6, 72)
+        np.testing.assert_allclose(dense["mask"], [1, 0, 1, 0, 1, 0])
+        theta = vibe_to_theta(dense)
+        assert theta.shape == (6, 70)
+        np.testing.assert_allclose(theta[:, -1], dense["mask"])
+
+        far = dict(person)
+        far["joints2d_img_coord"] = np.full((3, 25, 2), 500.0, np.float32)
+        people = {0: densify_person(far, 6), 1: dense}
+        gt = np.full((6, 25, 3), 5.0, np.float32)
+        chosen = select_person_near_gt(people, gt)
+        np.testing.assert_allclose(chosen["joints2d_img_coord"][0, 0],
+                                   [5.0, 5.0])
+
+
+class TestPennAction:
+    def test_lr_swap(self):
+        T = 2
+        labels = {
+            "x": np.tile(np.arange(13, dtype=np.float32), (T, 1)),
+            "y": np.zeros((T, 13), np.float32),
+            "visibility": np.ones((T, 13), np.float32),
+        }
+        out = penn_gt_to_op(labels)
+        assert out.shape == (T, 25, 3)
+        # Penn 'left_shoulder' (index 1) must land in OP RShoulder (index 2)
+        assert out[0, 2, 0] == 1.0
+        # Penn 'right_shoulder' (index 2) -> OP LShoulder (index 5)
+        assert out[0, 5, 0] == 2.0
+        # head -> OP Nose (index 0)
+        assert out[0, 0, 0] == 0.0 and out[0, 0, 2] == 1.0
+        # unmapped OP joints stay zero-confidence
+        assert out[0, 8, 2] == 0.0  # OP MidHip has no Penn source

@@ -1,0 +1,103 @@
+"""Eval metric tests: MPJPE tables, PCK, dynamic masking, CSV output."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nemo_tpu.body import synthetic_smpl_model
+from nemo_tpu.eval import (dynamic_frame_mask, eval_2d, eval_3d, eval_3d_pa,
+                           pck_2d, rmse_2d, smpl_grid_forward, write_csv)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return synthetic_smpl_model(num_vertices=300, seed=0)
+
+
+class TestEval3D:
+    def test_zero_error_for_identical_poses(self, model, rng):
+        V, F = 2, 6
+        pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        stats = eval_3d(model, pose[..., 3:], pose)
+        assert stats["mpjpe-ours"] == [pytest.approx(0.0, abs=1e-3)] * V
+        assert stats["mpvpe-ours"] == [pytest.approx(0.0, abs=1e-3)] * V
+
+    def test_nonzero_for_different_poses(self, model, rng):
+        V, F = 1, 4
+        gt = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        pred = gt[..., 3:] + 0.3
+        stats = eval_3d(model, pred, gt)
+        assert stats["mpjpe-ours"][0] > 1.0  # mm
+
+    def test_baseline_columns(self, model, rng):
+        V, F = 1, 3
+        gt = (0.1 * rng.randn(V, F, 72)).astype(np.float32)
+        base = {"vibe": gt[..., 3:] + 0.05}
+        stats = eval_3d(model, gt[..., 3:], gt, baselines=base)
+        assert "mpjpe-vibe" in stats and "mpvpe-vibe" in stats
+        assert stats["mpjpe-vibe"][0] > stats["mpjpe-ours"][0]
+
+    def test_pa_mpjpe(self, model, rng):
+        V, F = 1, 4
+        gt = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        stats = eval_3d_pa(model, gt[..., 3:], gt)
+        assert stats["pa_mpjpe-ours"][0] == pytest.approx(0.0, abs=1e-3)
+
+
+class TestDynamicMask:
+    def test_contiguous_span(self):
+        F = 20
+        j = np.zeros((F, 15, 3), np.float32)
+        # frames 5-10 move fast (>2 m/s at 30 fps => >6.7cm per frame)
+        j[5:11, 0, 0] = np.arange(6) * 0.1
+        mask = dynamic_frame_mask(j)
+        inds = np.nonzero(mask)[0]
+        assert len(inds) > 0
+        # contiguous
+        assert (np.diff(inds) == 1).all()
+
+    def test_static_sequence_empty(self):
+        j = np.zeros((10, 15, 3), np.float32)
+        assert dynamic_frame_mask(j).sum() == 0
+
+
+class TestEval2D:
+    def test_perfect_prediction(self, rng):
+        V, F = 2, 5
+        gt = rng.rand(V, F, 25, 3).astype(np.float32) * 100
+        gt[..., 2] = 1.0
+        diag = np.full((V, F), 100.0, np.float32)
+        stats = eval_2d(gt[..., :2], {}, gt, diag)
+        for v in range(V):
+            assert stats["recon_error_2d-ours"][v] < 0.01
+            assert stats["pck-ours"][v] == pytest.approx(100.0)
+
+    def test_pck_threshold(self):
+        gt = np.zeros((4, 15, 3), np.float32)
+        gt[..., 2] = 1.0
+        pred = gt[..., :2] + 3.0  # offset 3*sqrt2 px
+        # bbox diag 100 -> thresh 5px -> inside; diag 10 -> thresh 0.5 -> out
+        assert pck_2d(pred, gt[..., :2], gt[..., 2:],
+                      np.full((4,), 100.0)) == pytest.approx(100.0)
+        assert pck_2d(pred, gt[..., :2], gt[..., 2:],
+                      np.full((4,), 10.0)) == pytest.approx(0.0)
+
+    def test_rmse_includes_gated_zeros_in_mean(self):
+        # replicate the reference's mean-over-everything (:631-636)
+        gt = np.zeros((1, 2, 3), np.float32)
+        gt[0, 0, 2] = 1.0  # only first joint confident
+        pred = gt[..., :2] + 4.0
+        got = rmse_2d(pred, gt[..., :2], gt[..., 2:])
+        want = (np.sqrt(1e-6 + 32.0) + 0.0) / 2
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestCSV:
+    def test_write_csv(self, tmp_path):
+        stats = {"mpjpe-ours": [1.0, 2.0], "mpvpe-ours": [3.0, 4.0]}
+        p = str(tmp_path / "eval_3d.csv")
+        write_csv(stats, p)
+        lines = open(p).read().strip().splitlines()
+        assert lines[0] == ",mpjpe-ours,mpvpe-ours"
+        assert lines[1].startswith("0,1.0,3.0")

@@ -1,0 +1,175 @@
+"""Loss-function unit tests + the end-to-end synthetic fit.
+
+The synthetic fit is the closed-loop oracle the reference lacks: known
+motion + known cameras -> the optimizer must drive reprojection error down
+and recover the 3D joints.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemo_tpu.body import synthetic_smpl_model
+from nemo_tpu.data import synthetic_problem
+from nemo_tpu.fit import (
+    NemoConfig, NemoFitter, build_assets, keypoint_loss, per_view_average,
+    plateau_init, plateau_update,
+)
+from nemo_tpu.priors import synthetic_gmm_prior
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return synthetic_smpl_model(num_vertices=400, seed=0)
+
+
+@pytest.fixture(scope="module")
+def problem(small_model):
+    return synthetic_problem(small_model, num_views=3, num_frames=24,
+                             warp_strength=0.0, seed=0)
+
+
+class TestKeypointLoss:
+    def setup_method(self):
+        rng = np.random.RandomState(0)
+        self.pred = jnp.asarray(rng.randn(8, 25, 2).astype(np.float32) * 10)
+        self.gt = jnp.asarray(rng.randn(8, 25, 2).astype(np.float32) * 10)
+        conf = rng.rand(8, 25, 1).astype(np.float32)
+        self.conf = jnp.asarray(conf)
+        self.size = jnp.asarray(np.full(8, 200.0, np.float32))
+
+    def test_confidence_gating(self):
+        out = np.asarray(keypoint_loss(self.pred, self.gt, self.conf,
+                                       self.size, "mse"))
+        gate = np.asarray(self.conf) > 0.5
+        assert (out[~np.broadcast_to(gate, out.shape)] == 0).all()
+
+    def test_mse_matches_manual(self):
+        out = np.asarray(keypoint_loss(self.pred, self.gt, self.conf,
+                                       loss_type="mse"))
+        want = (np.asarray(self.conf) > 0.5) * \
+            (np.asarray(self.pred) - np.asarray(self.gt)) ** 2
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+
+    def test_mse_robust_bounded(self):
+        out = np.asarray(keypoint_loss(self.pred * 1e5, self.gt, self.conf,
+                                       loss_type="mse_robust"))
+        assert (out <= 100.0 ** 2 + 1e-2).all()
+
+    def test_rmse_shapes(self):
+        out = keypoint_loss(self.pred, self.gt, self.conf, self.size, "rmse")
+        assert out.shape == (8, 25, 1)
+        out = keypoint_loss(self.pred, self.gt, self.conf, self.size,
+                            "rmse_resized")
+        assert out.shape == (8, 25, 1)
+        out = keypoint_loss(self.pred, self.gt, self.conf, self.size,
+                            "mse_robust_resized")
+        assert out.shape == (8, 25, 2)
+
+    def test_all_types_grad_finite(self):
+        for lt in ("rmse", "rmse_resized", "mse", "rmse_robust", "mse_robust",
+                   "mse_robust_resized"):
+            def f(p):
+                return keypoint_loss(p, self.gt, self.conf, self.size,
+                                     lt).sum()
+            g = jax.grad(f)(self.gt)  # at pred == gt: the NaN hotspot
+            assert np.isfinite(np.asarray(g)).all(), lt
+
+
+class TestPerViewAverage:
+    def test_matches_reference_semantics(self):
+        rng = np.random.RandomState(1)
+        B, V = 32, 4
+        loss_all = rng.rand(B, 25, 2).astype(np.float32)
+        conf = rng.rand(B, 25, 1).astype(np.float32)
+        view_idx = rng.randint(0, V, B)
+
+        got = float(per_view_average(jnp.asarray(loss_all), jnp.asarray(conf),
+                                     jnp.asarray(view_idx), V))
+        # reference loop (:3839-3846)
+        total, n = 0.0, 0
+        for v in np.unique(view_idx):
+            m = view_idx == v
+            total += float((loss_all[m] * conf[m]).mean())
+            n += 1
+        np.testing.assert_allclose(got, total / n, rtol=1e-5)
+
+    def test_missing_view_ignored(self):
+        loss_all = jnp.ones((4, 25, 2))
+        conf = jnp.ones((4, 25, 1))
+        view_idx = jnp.array([0, 0, 2, 2])  # view 1, 3 absent
+        got = float(per_view_average(loss_all, conf, view_idx, 4))
+        np.testing.assert_allclose(got, 1.0, rtol=1e-6)
+
+
+class TestPlateau:
+    def test_torch_semantics(self):
+        s = plateau_init()
+        # 1 good step then 11 bad -> one decay (patience 10, trip on 11th)
+        s = plateau_update(s, jnp.asarray(1.0), 0.5, 0.1)
+        for i in range(10):
+            s = plateau_update(s, jnp.asarray(1.0), 0.5, 0.1)
+            assert float(s.scale) == 1.0, i
+        s = plateau_update(s, jnp.asarray(1.0), 0.5, 0.1)
+        assert float(s.scale) == 0.5
+
+    def test_improvement_resets(self):
+        s = plateau_init()
+        s = plateau_update(s, jnp.asarray(1.0), 0.5, 0.1)
+        for _ in range(5):
+            s = plateau_update(s, jnp.asarray(1.0), 0.5, 0.1)
+        s = plateau_update(s, jnp.asarray(0.5), 0.5, 0.1)  # improvement
+        assert int(s.num_bad) == 0
+        assert float(s.best) == 0.5
+
+    def test_min_lr_clamp(self):
+        s = plateau_init()
+        for _ in range(2000):
+            s = plateau_update(s, jnp.asarray(1.0), 0.1, 0.1)
+        assert float(s.scale) * 0.1 >= 1e-6 * 0.99
+
+
+class TestEndToEndFit:
+    """The framework-level oracle: fit a synthetic 3-view problem."""
+
+    def test_fit_reduces_loss_and_recovers_motion(self, small_model, problem):
+        bundle, truth = problem
+        cfg = NemoConfig(
+            model_version=2, h_dim=64, instance_code_size=4,
+            phase_rbf_dim=16, rbf_kernel="linear",
+            monotonic_network_n_nodes=10, phase_init="linear",
+            batch_size=64, lr_phase=1e-3, lr_factor=1.0,
+            weight_gmm_loss=0.0, warmup_step=30, opt_cam_step=50,
+            n_steps=150, label_type="gt",
+        )
+        assets = build_assets(bundle, small_model, cfg,
+                              gmm=synthetic_gmm_prior(4))
+        fitter = NemoFitter(cfg, assets, seed=0)
+
+        m0 = fitter.eval_loss()
+        fitter.warmup()
+        fitter.opt_cam()
+        cam_metrics = fitter.eval_loss()
+        metrics = fitter.fit(chunk=150)
+        m1 = fitter.eval_loss()
+
+        # loss must drop substantially end-to-end
+        assert m1["kp_loss"] < m0["kp_loss"] * 0.5, (m0, m1)
+        # and the per-step loss curve must be finite throughout
+        assert np.isfinite(metrics["total_loss"]).all()
+        assert len(metrics["total_loss"]) == 150
+
+    def test_fit_state_checkpointable(self, small_model, problem):
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=1, h_dim=32, instance_code_size=0,
+                         monotonic_network_n_nodes=5, batch_size=16,
+                         lr_factor=1.0, weight_gmm_loss=0.0, n_steps=4,
+                         warmup_step=0, opt_cam_step=0, label_type="gt")
+        assets = build_assets(bundle, small_model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=1)
+        fitter.fit(chunk=2)
+        leaves = jax.tree_util.tree_leaves(
+            (fitter.state.params, fitter.state.opt_state))
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves
+                   if np.asarray(l).dtype.kind == 'f')
