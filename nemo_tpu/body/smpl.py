@@ -238,13 +238,18 @@ def smpl_forward(model: SMPLModel,
             pose_feature, model.posedirs, precision=HI).reshape(B, -1, 3)
         v_posed = pose_offsets + v_shaped  # (B, V, 3)
 
-        # Skinning without materializing (B, V, 4, 4):
-        #   verts[b,v] = sum_j W[v,j] (A[b,j,:3,:3] @ v_posed[b,v] + A[b,j,:3,3])
-        Av = jnp.einsum('bjik,bvk->bjvi', A[:, :, :3, :3], v_posed,
-                        precision=HI)                       # (B, 24, V, 3)
-        Av = Av + A[:, :, None, :3, 3]
-        verts = jnp.einsum('vj,bjvi->bvi', model.lbs_weights, Av,
-                           precision=HI)                    # (B, V, 3)
+        # Skinning via blended per-vertex matrices: M[v] = sum_j W[v,j] A[j].
+        # The naive per-joint expansion materializes (B, 24, V, 3) ≈ 1 GB at
+        # batch 512; blending first keeps the largest intermediate at
+        # (B, V, 12) and the contraction is ONE MXU matmul over j.
+        B_ = A.shape[0]
+        A34 = A[:, :, :3, :4].reshape(B_, NUM_JOINTS, 12)
+        M = jnp.einsum('vj,bjl->bvl', model.lbs_weights, A34,
+                       precision=HI).reshape(B_, -1, 3, 4)  # (B, V, 3, 4)
+        vh = jnp.concatenate(
+            [v_posed, jnp.ones(v_posed.shape[:-1] + (1,), v_posed.dtype)],
+            axis=-1)                                        # (B, V, 4)
+        verts = jnp.einsum('bvik,bvk->bvi', M, vh, precision=HI)
 
         extra = jnp.einsum('jv,bvk->bjk', model.J_regressor_extra, verts,
                            precision=HI)                    # (B, 9, 3)

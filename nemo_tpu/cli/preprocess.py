@@ -1,0 +1,135 @@
+"""CLI: pack raw per-view data (OpenPose JSONs, VIBE pickles, GT pickles)
+into a fit-ready npz bundle.
+
+Replaces the reference's fit-time data layer (nemo/multi_view_sequence.py:
+MultiViewSequence / PennActionMultiViewSequence / DemoMultiViewSequence)
+with an offline packer: the three loader classes collapse into one schema,
+and the fit loop never touches Python I/O.
+
+Usage:
+  python -m nemo_tpu.cli.preprocess --nemo_cfg_path action.yml \
+      --out bundle.npz [--n_frames 120] [--label_type op]
+
+The per-action YAML is the reference's format: exp_dir + videos.names; for
+each view <name> the packer looks for:
+  <exp_dir>/<name>.frames.op/      OpenPose JSONs     (required)
+  <exp_dir>/<name>_vibe/vibe_output.pkl  VIBE init    (optional)
+  <exp_dir>/<name>_gt_2d.npy       GT 2D (F, 25, 3)   (optional)
+  mocap GT via --mocap_pkl (fullpose/trans arrays)    (optional)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nemo_cfg_path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n_frames", type=int, default=-1,
+                   help="common frame count (-1 = min over views)")
+    p.add_argument("--start_phase", type=float, default=0.0)
+    p.add_argument("--img_h", type=float, default=0, help="0 = infer")
+    p.add_argument("--img_w", type=float, default=0)
+    p.add_argument("--mocap_pkl", type=str, default="")
+    p.add_argument("--gt_cam_paths", type=str, default="",
+                   help="comma-separated opt_cam .npy paths (one per view)")
+    return p
+
+
+def main(argv=None) -> int:
+    from ..data import (MultiViewBundle, load_openpose_dir, load_vibe_pickle,
+                        resample_to_common_frames, vibe_to_theta)
+    from ..utils import load_action_config
+
+    args = build_parser().parse_args(argv)
+    cfg = load_action_config(args.nemo_cfg_path)
+    exp_dir = cfg["exp_dir"]
+    names = cfg["videos"]["names"]
+
+    op_per_view, gt_per_view, theta_per_view = [], [], []
+    for name in names:
+        base = osp.join(exp_dir, name)
+        op_dir = None
+        for cand in (base + ".frames.op", base + ".op",
+                     base + "_openpose"):
+            if osp.isdir(cand):
+                op_dir = cand
+                break
+        if op_dir is None:
+            raise FileNotFoundError(f"no OpenPose dir for view {name}")
+        op = load_openpose_dir(op_dir)
+        op_per_view.append(op)
+
+        gt_path = base + "_gt_2d.npy"
+        gt_per_view.append(np.load(gt_path) if osp.exists(gt_path) else None)
+
+        vibe_path = None
+        for cand in (osp.join(exp_dir, name + "_vibe", "vibe_output.pkl"),
+                     osp.join(exp_dir, "vibe", name, "vibe_output.pkl")):
+            if osp.exists(cand):
+                vibe_path = cand
+                break
+        if vibe_path:
+            person = load_vibe_pickle(vibe_path, op.shape[0], gt_2d=op)
+            theta_per_view.append(vibe_to_theta(person) if person is not None
+                                  else np.zeros((op.shape[0], 70), np.float32))
+        else:
+            theta_per_view.append(np.zeros((op.shape[0], 70), np.float32))
+
+    lens = [o.shape[0] for o in op_per_view]
+    F = min(lens) if args.n_frames <= 0 else min(args.n_frames, min(lens))
+    print(f"[preprocess] views={len(names)} frames/view={lens} -> F={F}")
+
+    op_all = resample_to_common_frames(op_per_view, F, args.start_phase)
+    theta_all = resample_to_common_frames(theta_per_view, F, args.start_phase)
+
+    labels = {"op": op_all.astype(np.float32)}
+    if all(g is not None for g in gt_per_view):
+        labels["gt"] = resample_to_common_frames(
+            gt_per_view, F, args.start_phase).astype(np.float32)
+
+    if args.img_h and args.img_w:
+        img_hw = np.array([args.img_h, args.img_w], np.float32)
+    else:
+        # infer from keypoint extents
+        mx = op_all[..., :2].reshape(-1, 2).max(0)
+        img_hw = np.array([np.ceil(mx[1] * 1.05), np.ceil(mx[0] * 1.05)],
+                          np.float32)
+
+    kwargs = {}
+    if args.mocap_pkl:
+        import joblib
+        mocap = joblib.load(args.mocap_pkl)
+        pose = np.asarray(mocap["fullpose"], np.float32)[:, :72]
+        trans = np.asarray(mocap["trans"], np.float32)
+        kwargs["gt3d_pose"] = resample_to_common_frames(
+            [pose] * len(names), F, args.start_phase)
+        kwargs["gt3d_trans"] = resample_to_common_frames(
+            [trans] * len(names), F, args.start_phase)
+    if args.gt_cam_paths:
+        cams = [np.load(p) for p in args.gt_cam_paths.split(",")]
+        kwargs["gt_cameras"] = np.stack(cams).astype(np.float32)
+
+    fm = np.asarray([F / max(l, 1) for l in lens], np.float32)
+    bundle = MultiViewBundle(
+        labels=labels,
+        hmr_theta=theta_all[..., :69].astype(np.float32),
+        hmr_mask=theta_all[..., 69:70].astype(np.float32),
+        img_hw=img_hw,
+        framerate_multiplier=fm,
+        name=osp.splitext(osp.basename(args.nemo_cfg_path))[0],
+        **kwargs)
+    bundle.save(args.out)
+    print(f"[preprocess] wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,6 +1,11 @@
 """Data layer: packed bundles, synthetic problems, ingestion adapters."""
 
 from .bundle import MultiViewBundle, resample_to_common_frames
+from .camera_fit import fit_gt_camera
+from .tracker import bbox_to_cs, iou, run_vibe_on_tracks, track_bboxes
+from .crops import bbox_from_keypoints, crop_image, get_single_image_crop
+from .video import (frames_to_video, openpose_command, run_openpose,
+                    video_to_frames)
 from .openpose import flip_horizontal, load_openpose_dir, parse_openpose_json
 from .penn_action import load_penn_sequence, penn_gt_to_op
 from .synthetic import (make_cameras, monotone_warp, smooth_motion,
@@ -14,4 +19,8 @@ __all__ = [
     "flip_horizontal", "load_openpose_dir", "parse_openpose_json",
     "load_penn_sequence", "penn_gt_to_op", "densify_person",
     "load_vibe_pickle", "select_person_near_gt", "vibe_to_theta",
+    "bbox_from_keypoints", "crop_image", "get_single_image_crop",
+    "frames_to_video", "openpose_command", "run_openpose", "video_to_frames",
+    "fit_gt_camera", "bbox_to_cs", "iou", "run_vibe_on_tracks",
+    "track_bboxes",
 ]

@@ -107,38 +107,37 @@ def synthetic_problem(model: SMPLModel,
     base_phase = np.linspace(0, 1, num_frames)
     proj_idx = np.asarray(constants.PROJ_JOINT_IDX_V0)
 
-    labels = np.zeros((num_views, num_frames, 25, 3), np.float32)
-    hmr_theta = np.zeros((num_views, num_frames, 69), np.float32)
-    warps = []
-    for v in range(num_views):
-        warped = monotone_warp(base_phase, warp_strength, seed * 31 + v)
-        warps.append(warped)
-        tidx = np.minimum((warped * num_frames).astype(np.int64),
-                          num_frames - 1)
-        pose_v = pose[tidx]            # (F, 24, 3)
-        trans_v = trans[tidx]
+    # One batched device call for all views x frames (the naive per-view
+    # eager loop costs minutes of dispatch on a 1-core host).
+    warps = [monotone_warp(base_phase, warp_strength, seed * 31 + v)
+             for v in range(num_views)]
+    tidx = np.minimum((np.stack(warps) * num_frames).astype(np.int64),
+                      num_frames - 1)                       # (V, F)
+    pose_vf = pose[tidx]                                    # (V, F, 24, 3)
+    trans_vf = trans[tidx]                                  # (V, F, 3)
 
-        rot = np.asarray(batch_rodrigues(jnp.asarray(pose_v.reshape(-1, 3)))
-                         ).reshape(num_frames, 24, 3, 3)
-        _, joints49 = smpl_forward(
-            model, jnp.asarray(betas), jnp.asarray(rot[:, 1:]),
-            jnp.asarray(rot[:, :1]), want_vertices=False)
-        j = np.asarray(joints49)[:, proj_idx] + trans_v[:, None, :]
+    @jax.jit
+    def gen_points(pose_vf, trans_vf, cams9):
+        VF = num_views * num_frames
+        rot = batch_rodrigues(pose_vf.reshape(VF, 24, 3))
+        _, joints49 = smpl_forward(model, jnp.asarray(betas), rot[:, 1:],
+                                   rot[:, :1], want_vertices=False)
+        j = joints49[:, proj_idx] + trans_vf.reshape(VF, 1, 3)
+        cam = camera_from_params(cams9, img_hw[0], img_hw[1])
+        cam_b = jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, num_frames, axis=0), cam)
+        return project(j, cam_b).reshape(num_views, num_frames, 25, 2)
 
-        cam = camera_from_params(jnp.asarray(cams9[v:v + 1]),
-                                 img_hw[0], img_hw[1])
-        pts2d = np.asarray(project(
-            jnp.asarray(j),
-            jax.tree_util.tree_map(
-                lambda a: jnp.broadcast_to(a, (num_frames,) + a.shape[1:]),
-                cam)))
-        if noise_px > 0:
-            pts2d = pts2d + noise_px * rng.randn(*pts2d.shape).astype(np.float32)
-        conf = np.ones((num_frames, 25, 1), np.float32)
-        if conf_dropout > 0:
-            conf *= (rng.rand(num_frames, 25, 1) > conf_dropout)
-        labels[v] = np.concatenate([pts2d, conf], -1)
-        hmr_theta[v] = pose_v[:, 1:].reshape(num_frames, 69)
+    pts2d = np.asarray(gen_points(jnp.asarray(pose_vf),
+                                  jnp.asarray(trans_vf),
+                                  jnp.asarray(cams9)))
+    if noise_px > 0:
+        pts2d = pts2d + noise_px * rng.randn(*pts2d.shape).astype(np.float32)
+    conf = np.ones((num_views, num_frames, 25, 1), np.float32)
+    if conf_dropout > 0:
+        conf *= (rng.rand(*conf.shape) > conf_dropout)
+    labels = np.concatenate([pts2d, conf], -1).astype(np.float32)
+    hmr_theta = pose_vf[:, :, 1:].reshape(num_views, num_frames, 69)
 
     bundle = MultiViewBundle(
         labels={"gt": labels, "op": labels.copy()},

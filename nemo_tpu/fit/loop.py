@@ -26,6 +26,16 @@ from .optimizer import (GroupOptimizer, PlateauState, make_camera_stage_optimize
                         make_optimizer, plateau_init_all, plateau_update_all)
 
 
+def _v0_warmup_optimizer(cfg: NemoConfig) -> GroupOptimizer:
+    """V0's warmup builds a fresh Adam over the pose network at lr_camera
+    (:3211-3214); its state is discarded after the stage."""
+    import optax
+    return GroupOptimizer(
+        transforms={"poses": optax.chain(optax.scale_by_adam(),
+                                         optax.scale(-cfg.lr_camera))},
+        cfg=cfg)
+
+
 def _sample_batch(key, batch_size: int, num_views: int, num_frames: int):
     kv, kf = jax.random.split(key)
     view_idx = jax.random.randint(kv, (batch_size,), 0, num_views)
@@ -82,7 +92,14 @@ class NemoFitter:
         V, F, B = assets.num_views, assets.num_frames, cfg.batch_size
 
         if stage == "warmup":
-            active = ("motion", "rbf", "phase")
+            # V1+ steps the persistent motion(+rbf)+phase optimizers
+            # (:3493-3503); V0 builds a FRESH Adam over the pose network
+            # only, at lr_camera (:3211-3214) — handled by the caller
+            # passing a dedicated optimizer through the carry.
+            active = (("poses",) if cfg.model_version == 0
+                      else ("motion", "rbf", "phase"))
+            warm_opt = opt if cfg.model_version != 0 \
+                else _v0_warmup_optimizer(cfg)
 
             def body(carry, _):
                 params, opt_state, plateau, key = carry
@@ -90,8 +107,8 @@ class NemoFitter:
                 vi, fi = _sample_batch(k1, B, V, F)
                 (loss, metrics), grads = jax.value_and_grad(
                     warmup_loss, has_aux=True)(params, cfg, assets, vi, fi)
-                updates, opt_state = opt.update(grads, opt_state, params,
-                                                active=active)
+                updates, opt_state = warm_opt.update(grads, opt_state, params,
+                                                     active=active)
                 params = jax.tree_util.tree_map(
                     lambda p, u: p + u, params, updates)
                 return (params, opt_state, plateau, key), metrics
@@ -166,9 +183,18 @@ class NemoFitter:
             return {}
         run = self._stage_scan("warmup", steps)
         st = self.state
-        carry = (st.params, st.opt_state, st.plateau, st.key)
-        (params, opt_state, plateau, key), metrics = run(carry)
-        self.state = FitState(params, opt_state, plateau, key, st.step)
+        if self.cfg.model_version == 0:
+            warm_state = _v0_warmup_optimizer(self.cfg).init(
+                {"poses": st.params["poses"]})
+            carry = (st.params, warm_state, st.plateau, st.key)
+            (params, _, plateau, key), metrics = run(carry)
+            # fresh warmup-Adam state is dropped, like the reference's
+            # throwaway self.warmup_optimizer.
+            self.state = FitState(params, st.opt_state, plateau, key, st.step)
+        else:
+            carry = (st.params, st.opt_state, st.plateau, st.key)
+            (params, opt_state, plateau, key), metrics = run(carry)
+            self.state = FitState(params, opt_state, plateau, key, st.step)
         return {k: np.asarray(v) for k, v in metrics.items()}
 
     def opt_cam(self, steps: Optional[int] = None) -> Dict[str, np.ndarray]:

@@ -57,6 +57,10 @@ class NemoConfig:
     lr_human: float = 0.01
     lr_instance: float = 0.001
     lr_phase: float = 1e-5
+    # V0-only per-network learning rates (:3180-3194)
+    lr_pose: float = 0.01
+    lr_orient: float = 0.01
+    lr_trans: float = 0.01
     lr_factor: float = 0.5        # ReduceLROnPlateau factor; >=1 disables
     wd_human: float = 0.001
     opt_human: str = "adam"       # 'adam' (L2-in-grad) | 'adamw' (decoupled)
@@ -81,7 +85,7 @@ class NemoConfig:
 
     @property
     def uses_instance_code(self) -> bool:
-        return self.instance_code_size > 0
+        return self.instance_code_size > 0 and self.model_version >= 1
 
     @property
     def proj_joint_idx(self) -> np.ndarray:
@@ -126,18 +130,32 @@ jax.tree_util.register_pytree_node(
 
 
 def init_params(key, cfg: NemoConfig, num_views: int, img_d0: float) -> Params:
-    """Initialize the trainable parameter pytree (NemoV1 init :3369-3453)."""
-    k_cam, k_inst, k_motion, k_phase = jax.random.split(key, 4)
+    """Initialize the trainable parameter pytree.
+
+    V1+ (:3369-3453): one MotionNet (+ optional RBF, instance codes).
+    V0 (:3127-3205): separate RotNet(23) / RotNet(1) / FCNN(1->3) networks,
+    no instance codes.
+    """
+    k_cam, k_inst, k_motion, k_phase, k_o, k_t = jax.random.split(key, 6)
     params: Params = {
         "cameras": init_camera_params(k_cam, num_views, img_d0,
                                       cfg.focal_length),
-        "motion": init_motion_net(k_motion, cfg.motion_input_dim, cfg.h_dim,
-                                  n_joints=24, init_last_layer_zero=True),
         "phase": init_monotonic(k_phase, num_views,
                                 cfg.monotonic_network_n_nodes,
                                 cfg.phase_init),
         "betas": jnp.zeros((1, 10)),
     }
+    if cfg.model_version == 0:
+        from ..modules.networks import init_fcnn, init_rot_net
+        params["poses"] = init_rot_net(k_motion, 1, cfg.h_dim, 23,
+                                       init_last_layer_zero=True)
+        params["orient"] = init_rot_net(k_o, 1, cfg.h_dim, 1,
+                                        init_last_layer_zero=True)
+        params["trans"] = init_fcnn(k_t, 1, cfg.h_dim, 3)
+        return params
+    params["motion"] = init_motion_net(k_motion, cfg.motion_input_dim,
+                                       cfg.h_dim, n_joints=24,
+                                       init_last_layer_zero=True)
     if cfg.uses_instance_code:
         params["instance"] = 1e-4 * jax.random.normal(
             k_inst, (num_views, cfg.instance_code_size))
@@ -200,9 +218,18 @@ def predict(params: Params, cfg: NemoConfig, assets: NemoAssets,
         raw = phases[:, None]
     warped = apply_monotonic_gather(params["phase"], view_idx, raw)  # (B, 1)
 
-    inp = _motion_input(params, cfg, warped, view_idx, key)
-    pose_d, orient_d, trans = apply_motion_net(params["motion"], inp, 24)
-    trans = trans - _trans_at_phase0(params, cfg)
+    if cfg.model_version == 0:
+        # V0: separate networks (get_preds_given_phases :3005-3034)
+        from ..modules.networks import apply_fcnn, apply_rot_net
+        pose_d = apply_rot_net(params["poses"], warped, 23)
+        orient_d = apply_rot_net(params["orient"], warped, 1)
+        trans = apply_fcnn(params["trans"], warped)
+        trans0 = apply_fcnn(params["trans"], jnp.zeros((1, 1)))
+        trans = trans - trans0
+    else:
+        inp = _motion_input(params, cfg, warped, view_idx, key)
+        pose_d, orient_d, trans = apply_motion_net(params["motion"], inp, 24)
+        trans = trans - _trans_at_phase0(params, cfg)
 
     body_rotmat = pose_d["rotmat"]
     if detach_pose:
@@ -358,14 +385,20 @@ def fit_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
 def warmup_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
                 view_idx: jnp.ndarray, frame_idx: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Warmup: fit predicted axis-angle pose to initializer theta
-    (NemoV1.warmup :3455-3509), mse_robust over the 69-d pose."""
+    """Warmup: fit predicted axis-angle pose to initializer theta.
+
+    V1+ (:3455-3509): mse_robust with the initializer's validity mask.
+    V0 (:3207-3269): plain unmasked MSE against SPIN theta.
+    """
     preds = predict(params, cfg, assets, view_idx, frame_idx,
                     want_vertices=False)
     theta = assets.hmr_theta[view_idx, frame_idx]
-    mask = assets.hmr_mask[view_idx, frame_idx]
-    loss = keypoint_loss(preds["poses"], theta, mask,
-                         loss_type="mse_robust").mean()
+    if cfg.model_version == 0:
+        loss = ((preds["poses"] - theta) ** 2).mean()
+    else:
+        mask = assets.hmr_mask[view_idx, frame_idx]
+        loss = keypoint_loss(preds["poses"], theta, mask,
+                             loss_type="mse_robust").mean()
     return loss, {"warmup_loss": loss}
 
 

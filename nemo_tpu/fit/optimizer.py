@@ -28,8 +28,10 @@ PLATEAU_PATIENCE = 10
 PLATEAU_THRESHOLD = 1e-4
 PLATEAU_MIN_LR = 1e-6
 
-# parameter-group names (top-level keys of the params pytree)
-GROUPS = ("cameras", "motion", "rbf", "phase", "instance", "betas")
+# parameter-group names (top-level keys of the params pytree);
+# motion/rbf/instance exist for V1+, poses/orient/trans for V0.
+GROUPS = ("cameras", "motion", "rbf", "phase", "instance", "betas",
+          "poses", "orient", "trans")
 
 
 class PlateauState(NamedTuple):
@@ -67,6 +69,10 @@ def group_lrs(cfg: NemoConfig) -> Dict[str, float]:
         "instance": cfg.lr_instance,
         "betas": 0.0,               # learned_betas is a parameter the
                                     # reference never hands to any optimizer
+        # V0's five-optimizer split (:3172-3199)
+        "poses": cfg.lr_pose,
+        "orient": cfg.lr_orient,
+        "trans": cfg.lr_trans,
     }
 
 
@@ -81,7 +87,7 @@ def make_group_transform(cfg: NemoConfig, group: str
     lr = group_lrs(cfg)[group]
     if lr == 0.0:
         return optax.set_to_zero()
-    wd = cfg.wd_human if group in ("motion", "rbf") else 0.0
+    wd = cfg.wd_human if group in ("motion", "rbf", "poses", "orient") else 0.0
     if wd and cfg.opt_human == "adam":
         return optax.chain(optax.add_decayed_weights(wd),
                            optax.scale_by_adam(),

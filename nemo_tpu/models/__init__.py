@@ -3,6 +3,15 @@
 from .resnet import (convert_torch_resnet50, init_resnet50, resnet50_features)
 from .hmr import (convert_torch_hmr, hmr_forward, hmr_head, imagenet_normalize,
                   init_hmr_head, weak_perspective_projection)
+from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
+                    humor_posterior, humor_prior, humor_roll_out,
+                    humor_single_step, humor_train_loss, init_humor,
+                    pack_state, split_state)
+from .humor_eval import humor_eval_metrics
+from .humor_fit import MotionOptConfig, humor_motion_fit
+from .vibe_train import (VibeLossWeights, init_motion_discriminator,
+                         make_discriminator_train_step, motion_discriminator,
+                         vibe_discriminator_loss, vibe_generator_loss)
 from .vibe import (convert_torch_gru, gru_cell, hmr_forward_from_features,
                    init_gru, temporal_encoder, vibe_forward)
 
@@ -12,4 +21,11 @@ __all__ = [
     "init_hmr_head", "weak_perspective_projection",
     "convert_torch_gru", "gru_cell", "hmr_forward_from_features", "init_gru",
     "temporal_encoder", "vibe_forward",
+    "HumorConfig", "STATE_DIM", "gaussian_kl", "humor_decode",
+    "humor_posterior", "humor_prior", "humor_roll_out", "humor_single_step",
+    "humor_train_loss", "init_humor", "pack_state", "split_state",
+    "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
+    "VibeLossWeights", "init_motion_discriminator",
+    "make_discriminator_train_step", "motion_discriminator",
+    "vibe_discriminator_loss", "vibe_generator_loss",
 ]

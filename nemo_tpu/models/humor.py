@@ -1,0 +1,270 @@
+"""HuMoR: CVAE latent dynamics motion prior, functional JAX.
+
+Behavioral reference: humor/humor/models/humor_model.py:102-1207 —
+posterior/prior/decoder MLPs with GroupNorm and latent skip connections
+(:178-208, MLP :1209-1244), residual ("delta") decoding with rotation
+composition (:445-498), autoregressive roll_out (:785-1020), and
+two-Gaussian KL for training.
+
+State layout ('smpl+joints' config, axis-angle rotations):
+  trans(3) trans_vel(3) root_orient(3) root_orient_vel(3)
+  pose_body(63) joints(66) joints_vel(66)                      -> D = 207
+
+TPU-first: roll_out is a lax.scan (the reference's Python loop over steps);
+each step is a few 1024-wide matmuls — MXU-friendly at batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.rotations import batch_rodrigues, rotmat_to_aa
+
+Params = Dict[str, jnp.ndarray]
+
+# (name, dim, is_rotation) — the 'smpl+joints' data config
+STATE_FIELDS = (
+    ("trans", 3, False),
+    ("trans_vel", 3, False),
+    ("root_orient", 3, True),
+    ("root_orient_vel", 3, False),
+    ("pose_body", 63, True),
+    ("joints", 66, False),
+    ("joints_vel", 66, False),
+)
+STATE_DIM = sum(d for _, d, _ in STATE_FIELDS)  # 207
+NUM_CONTACTS = 9
+
+
+@dataclasses.dataclass(frozen=True)
+class HumorConfig:
+    latent_size: int = 48
+    steps_in: int = 1
+    conditional_prior: bool = True
+    output_delta: bool = True
+    pred_contacts: bool = True
+    num_groups: int = 16  # GroupNorm groups
+
+    @property
+    def input_dim(self) -> int:
+        return self.steps_in * STATE_DIM
+
+    @property
+    def output_dim(self) -> int:
+        return STATE_DIM + (NUM_CONTACTS if self.pred_contacts else 0)
+
+
+def split_state(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    out, s = {}, 0
+    for name, d, _ in STATE_FIELDS:
+        out[name] = x[..., s:s + d]
+        s += d
+    return out
+
+
+def pack_state(d: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    return jnp.concatenate([d[name] for name, _, _ in STATE_FIELDS], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# MLP with GroupNorm + latent skip (humor_model.py MLP :1209-1244)
+# ---------------------------------------------------------------------------
+
+def _group_norm(x: jnp.ndarray, gamma, beta, groups: int,
+                eps: float = 1e-5) -> jnp.ndarray:
+    B, D = x.shape
+    xg = x.reshape(B, groups, D // groups)
+    m = xg.mean(axis=2, keepdims=True)
+    v = xg.var(axis=2, keepdims=True)
+    xg = (xg - m) / jnp.sqrt(v + eps)
+    return xg.reshape(B, D) * gamma + beta
+
+
+def init_mlp(key, layers, num_groups: int = 16,
+             skip_size: int = 0) -> Params:
+    """layers[0] = in (incl. skip), rest = widths; GroupNorm between."""
+    p: Params = {}
+    ks = jax.random.split(key, len(layers))
+    in_dim = layers[0]
+    p["w0"], p["b0"] = _lin_init(ks[0], in_dim, layers[1])
+    prev = layers[1]
+    for i in range(2, len(layers)):
+        p[f"gn{i - 1}_g"] = jnp.ones(prev)
+        p[f"gn{i - 1}_b"] = jnp.zeros(prev)
+        p[f"w{i - 1}"], p[f"b{i - 1}"] = _lin_init(
+            ks[i - 1], prev + skip_size, layers[i])
+        prev = layers[i]
+    return p
+
+
+def _lin_init(key, i, o):
+    s = 1.0 / np.sqrt(i)
+    kw, kb = jax.random.split(key)
+    return (jax.random.uniform(kw, (i, o), minval=-s, maxval=s),
+            jax.random.uniform(kb, (o,), minval=-s, maxval=s))
+
+
+def apply_mlp(p: Params, x: jnp.ndarray, n_layers: int, num_groups: int,
+              skip_in: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """n_layers = number of Linear layers."""
+    x = x @ p["w0"] + p["b0"]
+    for i in range(1, n_layers):
+        x = _group_norm(x, p[f"gn{i}_g"], p[f"gn{i}_b"], num_groups)
+        x = jax.nn.relu(x)
+        if skip_in is not None:
+            x = jnp.concatenate([x, skip_in], axis=1)
+        x = x @ p[f"w{i}"] + p[f"b{i}"]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HuMoR model
+# ---------------------------------------------------------------------------
+
+def init_humor(key, cfg: HumorConfig = HumorConfig()) -> Params:
+    kp, ke, kd = jax.random.split(key, 3)
+    D, L = cfg.input_dim, cfg.latent_size
+    params = {
+        "encoder": init_mlp(ke, [2 * D, 1024, 1024, 1024, 1024, 2 * L],
+                            cfg.num_groups),
+        "decoder": init_mlp(kd, [D + L, 1024, 1024, 512, cfg.output_dim],
+                            cfg.num_groups, skip_size=L),
+    }
+    if cfg.conditional_prior:
+        params["prior"] = init_mlp(kp, [D, 1024, 1024, 1024, 1024, 2 * L],
+                                   cfg.num_groups)
+    return params
+
+
+def humor_posterior(p: Params, cfg: HumorConfig, past: jnp.ndarray,
+                    t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    out = apply_mlp(p["encoder"], jnp.concatenate([past, t], axis=1),
+                    5, cfg.num_groups)
+    mu, logvar = out[:, :cfg.latent_size], out[:, cfg.latent_size:]
+    return mu, jnp.exp(logvar)
+
+
+def humor_prior(p: Params, cfg: HumorConfig, past: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if not cfg.conditional_prior:
+        B = past.shape[0]
+        return jnp.zeros((B, cfg.latent_size)), jnp.ones((B, cfg.latent_size))
+    out = apply_mlp(p["prior"], past, 5, cfg.num_groups)
+    mu, logvar = out[:, :cfg.latent_size], out[:, cfg.latent_size:]
+    return mu, jnp.exp(logvar)
+
+
+def _compose_rotation_delta(delta_aa: jnp.ndarray, base_aa: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Residual rotation composition (decode :467-480): R_out = dR @ R_in."""
+    J = delta_aa.shape[-1] // 3
+    dR = batch_rodrigues(delta_aa.reshape(-1, J, 3))
+    R = batch_rodrigues(base_aa.reshape(-1, J, 3))
+    out = jnp.matmul(dR, R, precision=jax.lax.Precision.HIGHEST)
+    return rotmat_to_aa(out).reshape(delta_aa.shape)
+
+
+def humor_decode(p: Params, cfg: HumorConfig, z: jnp.ndarray,
+                 past: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Latent + past -> next state (+contact logits).
+
+    With output_delta, non-rotation fields add the residual and rotation
+    fields compose (decode :445-498).
+    """
+    out = apply_mlp(p["decoder"], jnp.concatenate([past, z], axis=1),
+                    4, cfg.num_groups, skip_in=z)
+    contacts = out[:, STATE_DIM:] if cfg.pred_contacts else None
+    delta = out[:, :STATE_DIM]
+    if not cfg.output_delta:
+        return delta, contacts
+
+    prev = past[:, -STATE_DIM:]  # most recent step
+    d, pv = split_state(delta), split_state(prev)
+    nxt = {}
+    for name, _, is_rot in STATE_FIELDS:
+        if is_rot:
+            nxt[name] = _compose_rotation_delta(d[name], pv[name])
+        else:
+            nxt[name] = d[name] + pv[name]
+    return pack_state(nxt), contacts
+
+
+def humor_single_step(p: Params, cfg: HumorConfig, past: jnp.ndarray,
+                      t: jnp.ndarray, key) -> Dict[str, jnp.ndarray]:
+    """Training forward (single_step :374-405): posterior sample + decode."""
+    qm, qv = humor_posterior(p, cfg, past, t)
+    pm, pv = humor_prior(p, cfg, past)
+    z = qm + jax.random.normal(key, qm.shape) * jnp.sqrt(qv)
+    pred, contacts = humor_decode(p, cfg, z, past)
+    return {"pred": pred, "contacts": contacts,
+            "posterior": (qm, qv), "prior": (pm, pv), "z": z}
+
+
+def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
+                   num_steps: int, key=None, use_mean: bool = False,
+                   z_seq: Optional[jnp.ndarray] = None
+                   ) -> Dict[str, jnp.ndarray]:
+    """Autoregressive rollout sampling the (conditional) prior each step.
+
+    x0: (B, D) initial state. Returns {'states': (B, T, D), 'z': (B, T, L),
+    'contacts': (B, T, 9)?} — the reference's roll_out (:785-1020) as one
+    lax.scan.
+    """
+    B = x0.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, num_steps)
+    zs = (jnp.swapaxes(z_seq, 0, 1) if z_seq is not None
+          else jnp.zeros((num_steps, B, cfg.latent_size)))
+
+    def step(past, inp):
+        k, z_given = inp
+        pm, pv = humor_prior(p, cfg, past)
+        if z_seq is not None:
+            z = z_given
+        elif use_mean:
+            z = pm
+        else:
+            z = pm + jax.random.normal(k, pm.shape) * jnp.sqrt(pv)
+        pred, contacts = humor_decode(p, cfg, z, past)
+        out = (pred, z, contacts if contacts is not None
+               else jnp.zeros((B, 0)))
+        return pred, out
+
+    _, (states, z_out, contacts) = jax.lax.scan(step, x0, (keys, zs))
+    return {"states": jnp.swapaxes(states, 0, 1),
+            "z": jnp.swapaxes(z_out, 0, 1),
+            "contacts": jnp.swapaxes(contacts, 0, 1)}
+
+
+def gaussian_kl(qm, qv, pm, pv) -> jnp.ndarray:
+    """KL(N(qm, qv) || N(pm, pv)) summed over dims, mean over batch."""
+    kl = 0.5 * (jnp.log(pv) - jnp.log(qv) + (qv + (qm - pm) ** 2) / pv - 1.0)
+    return jnp.mean(jnp.sum(kl, axis=1))
+
+
+def humor_train_loss(p: Params, cfg: HumorConfig, past: jnp.ndarray,
+                     target: jnp.ndarray, key,
+                     kl_weight: float = 4e-4,
+                     contacts_gt: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One-step CVAE training loss: state reconstruction MSE + prior KL
+    (+BCE on contacts), the core of humor's training step (:32-99)."""
+    out = humor_single_step(p, cfg, past, target, key)
+    rec = ((out["pred"] - target) ** 2).mean()
+    kl = gaussian_kl(*out["posterior"], *out["prior"])
+    loss = rec + kl_weight * kl
+    metrics = {"rec": rec, "kl": kl}
+    if cfg.pred_contacts and contacts_gt is not None:
+        logits = out["contacts"]
+        bce = jnp.mean(jnp.maximum(logits, 0) - logits * contacts_gt
+                       + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        loss = loss + 0.01 * bce
+        metrics["contacts_bce"] = bce
+    metrics["loss"] = loss
+    return loss, metrics

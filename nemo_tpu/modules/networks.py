@@ -115,6 +115,33 @@ def apply_motion_net(p: Params, x: jnp.ndarray, n_joints: int
 
 
 # ---------------------------------------------------------------------------
+# RotNet: trunk -> per-joint 6D rotations (neural_motion_model.py:74-103)
+# ---------------------------------------------------------------------------
+
+def init_rot_net(key, input_dim: int, h_dim: int, n_joints: int,
+                 init_last_layer_zero: bool = True) -> Params:
+    k_tr, k_rot = jax.random.split(key)
+    trunk = init_fcnn(k_tr, input_dim, h_dim, h_dim)
+    if init_last_layer_zero:
+        W = _xavier_uniform(k_rot, h_dim, n_joints * 6, gain=1e-5)
+        b = jnp.tile(IDENTITY_6D, (n_joints,))
+    else:
+        W = _xavier_uniform(k_rot, h_dim, n_joints * 6, gain=0.01)
+        b = jnp.zeros(n_joints * 6)
+    return {"trunk": trunk, "W_rot": W, "b_rot": b}
+
+
+def apply_rot_net(p: Params, x: jnp.ndarray, n_joints: int) -> dict:
+    """Returns {'rot6d', 'rotmat', 'pose'} like the reference RotNet."""
+    B = x.shape[0]
+    z = jax.nn.relu(apply_fcnn(p["trunk"], x))
+    rot6d = z @ p["W_rot"] + p["b_rot"]
+    rotmat = rot6d_to_rotmat(rot6d.reshape(B, n_joints, 6))
+    pose = rotmat_to_aa(rotmat).reshape(B, n_joints * 3)
+    return {"rot6d": rot6d, "rotmat": rotmat, "pose": pose}
+
+
+# ---------------------------------------------------------------------------
 # Monotonic phase-warp network (monotonic_network.py:7-39), stacked per view
 # ---------------------------------------------------------------------------
 

@@ -1,7 +1,9 @@
-"""Host-side rendering/visualization."""
+"""Host-side and device-side rendering/visualization."""
 
 from .keypoints import (OP25_EDGES, draw_skeleton, render_keypoint_rollout,
                         render_loss_curves, render_phase_plot)
+from .mesh import render_mesh_overlay, splat_render, vertex_normals
 
 __all__ = ["OP25_EDGES", "draw_skeleton", "render_keypoint_rollout",
-           "render_loss_curves", "render_phase_plot"]
+           "render_loss_curves", "render_phase_plot",
+           "render_mesh_overlay", "splat_render", "vertex_normals"]

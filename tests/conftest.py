@@ -1,8 +1,10 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
 Tests must run without TPU hardware; multi-chip sharding tests use the
-virtual device mesh. This must run before jax initializes its backends,
-hence module-level env mutation in conftest.
+virtual device mesh. NOTE: pytest's plugin chain imports jax before this
+conftest runs, so the env vars alone are too late — jax.config.update works
+until the first backend initialization, and XLA_FLAGS is read lazily at
+backend init.
 """
 
 import os
@@ -15,11 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the CI box has one core; caching compiled
 # executables across test runs cuts suite time dramatically.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU platform; a backend was initialized "
+    "before conftest could force it")
+assert len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

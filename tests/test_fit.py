@@ -160,6 +160,40 @@ class TestEndToEndFit:
         assert np.isfinite(metrics["total_loss"]).all()
         assert len(metrics["total_loss"]) == 150
 
+    def test_v0_all_stages_run(self, small_model, problem):
+        """NemoV0: separate pose/orient/trans nets, 5 optimizers, SPIN
+        warmup with a throwaway Adam (:3127-3361)."""
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=0, h_dim=16,
+                         monotonic_network_n_nodes=4, batch_size=8,
+                         lr_factor=1.0, weight_gmm_loss=0.0,
+                         label_type="gt", warmup_step=3, opt_cam_step=3,
+                         n_steps=3)
+        assets = build_assets(bundle, small_model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=0)
+        assert "poses" in fitter.state.params
+        assert "motion" not in fitter.state.params
+        fitter.warmup()
+        fitter.opt_cam()
+        m = fitter.fit(chunk=3)
+        assert np.isfinite(m["total_loss"]).all()
+
+    def test_v4_camera_stage_runs(self, small_model, problem):
+        """V4's camera stage trains all params with detached pose + 25-joint
+        indexing (:3959-4151)."""
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=4, h_dim=16, instance_code_size=2,
+                         phase_rbf_dim=8, monotonic_network_n_nodes=4,
+                         batch_size=8, lr_factor=1.0, weight_gmm_loss=0.0,
+                         weight_3d_loss=0.1, label_type="gt",
+                         warmup_step=0, opt_cam_step=3, n_steps=3)
+        assets = build_assets(bundle, small_model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=0)
+        fitter.opt_cam()
+        m = fitter.fit(chunk=3)
+        assert np.isfinite(m["total_loss"]).all()
+        assert "loss_3d" in m
+
     def test_fit_state_checkpointable(self, small_model, problem):
         bundle, _ = problem
         cfg = NemoConfig(model_version=1, h_dim=32, instance_code_size=0,

@@ -1,0 +1,104 @@
+"""HuMoR CVAE tests: shapes, delta decoding, rollout, training loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemo_tpu.models import (
+    HumorConfig, STATE_DIM, gaussian_kl, humor_decode, humor_prior,
+    humor_roll_out, humor_single_step, humor_train_loss, init_humor,
+    pack_state, split_state,
+)
+
+
+@pytest.fixture(scope="module")
+def humor():
+    cfg = HumorConfig()
+    return cfg, init_humor(jax.random.PRNGKey(0), cfg)
+
+
+def random_state(rng, B):
+    x = 0.1 * rng.randn(B, STATE_DIM).astype(np.float32)
+    return jnp.asarray(x)
+
+
+class TestState:
+    def test_pack_split_roundtrip(self, rng):
+        x = random_state(rng, 3)
+        np.testing.assert_allclose(np.asarray(pack_state(split_state(x))),
+                                   np.asarray(x))
+
+    def test_state_dim(self):
+        assert STATE_DIM == 207
+
+
+class TestModel:
+    def test_single_step_shapes(self, humor, rng):
+        cfg, p = humor
+        past = random_state(rng, 4)
+        t = random_state(rng, 4)
+        out = humor_single_step(p, cfg, past, t, jax.random.PRNGKey(1))
+        assert out["pred"].shape == (4, STATE_DIM)
+        assert out["contacts"].shape == (4, 9)
+        assert out["posterior"][0].shape == (4, 48)
+        assert (np.asarray(out["posterior"][1]) > 0).all()
+
+    def test_prior_is_conditional(self, humor, rng):
+        cfg, p = humor
+        a = random_state(rng, 2)
+        b = random_state(rng, 2) + 1.0
+        ma, _ = humor_prior(p, cfg, a)
+        mb, _ = humor_prior(p, cfg, b)
+        assert np.abs(np.asarray(ma) - np.asarray(mb)).max() > 1e-6
+
+    def test_delta_decode_zero_latent_near_identity_rotations(self, humor, rng):
+        cfg, p = humor
+        past = random_state(rng, 2)
+        z = jnp.zeros((2, cfg.latent_size))
+        pred, _ = humor_decode(p, cfg, z, past)
+        # rotations composed with a (random-init, small) delta stay valid aa
+        assert np.isfinite(np.asarray(pred)).all()
+
+    def test_roll_out(self, humor, rng):
+        cfg, p = humor
+        x0 = random_state(rng, 2)
+        out = humor_roll_out(p, cfg, x0, num_steps=5,
+                             key=jax.random.PRNGKey(2))
+        assert out["states"].shape == (2, 5, STATE_DIM)
+        assert out["z"].shape == (2, 5, 48)
+        assert np.isfinite(np.asarray(out["states"])).all()
+
+    def test_roll_out_mean_deterministic(self, humor, rng):
+        cfg, p = humor
+        x0 = random_state(rng, 1)
+        a = humor_roll_out(p, cfg, x0, 3, key=jax.random.PRNGKey(1),
+                           use_mean=True)
+        b = humor_roll_out(p, cfg, x0, 3, key=jax.random.PRNGKey(9),
+                           use_mean=True)
+        np.testing.assert_allclose(np.asarray(a["states"]),
+                                   np.asarray(b["states"]), atol=1e-6)
+
+
+class TestTraining:
+    def test_kl_identity_zero(self):
+        m = jnp.ones((2, 8))
+        v = jnp.full((2, 8), 0.5)
+        assert float(gaussian_kl(m, v, m, v)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_train_loss_grads(self, humor, rng):
+        cfg, p = humor
+        past = random_state(rng, 4)
+        target = random_state(rng, 4)
+        contacts = jnp.zeros((4, 9))
+
+        def f(p):
+            loss, _ = humor_train_loss(p, cfg, past, target,
+                                       jax.random.PRNGKey(0),
+                                       contacts_gt=contacts)
+            return loss
+        g = jax.grad(f)(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        # encoder must receive gradient
+        assert np.abs(np.asarray(g["encoder"]["w0"])).max() > 0

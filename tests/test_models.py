@@ -25,7 +25,7 @@ class TestResNet:
     def test_matches_torchvision(self):
         """Golden: converted torchvision weights reproduce torch's output."""
         import torch
-        import torchvision
+        torchvision = pytest.importorskip("torchvision")
         tm = torchvision.models.resnet50(weights=None)
         tm.eval()
         # randomize BN stats so the test catches stat-mapping bugs

@@ -1,0 +1,60 @@
+"""Tracker + GT camera fitting tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nemo_tpu.data import bbox_to_cs, fit_gt_camera, iou, track_bboxes
+
+
+class TestIoUTracker:
+    def test_single_person_one_track(self):
+        dets = [np.array([[10 + f, 10, 50 + f, 90]], np.float32)
+                for f in range(20)]
+        tracks = track_bboxes(dets)
+        assert len(tracks) == 1
+        t = tracks[0]
+        assert len(t["frame_ids"]) == 20
+        np.testing.assert_array_equal(t["frame_ids"], np.arange(20))
+
+    def test_two_people_two_tracks(self):
+        dets = [np.array([[0, 0, 40, 80], [200, 0, 240, 80]], np.float32)
+                for _ in range(10)]
+        tracks = track_bboxes(dets)
+        assert len(tracks) == 2
+        assert all(len(t["frame_ids"]) == 10 for t in tracks.values())
+
+    def test_gap_breaks_track_after_max_age(self):
+        a = np.array([[0, 0, 40, 80]], np.float32)
+        dets = [a] * 5 + [np.zeros((0, 4), np.float32)] * 15 + [a] * 5
+        tracks = track_bboxes(dets, max_age=3)
+        assert len(tracks) == 2
+
+    def test_iou_and_cs(self):
+        assert iou(np.array([0, 0, 10, 10]), np.array([0, 0, 10, 10])) == 1.0
+        assert iou(np.array([0, 0, 10, 10]), np.array([20, 20, 30, 30])) == 0.0
+        cs = bbox_to_cs(np.array([0, 0, 20, 40]), rescale=1.0)
+        np.testing.assert_allclose(cs, [10, 20, 40])
+
+
+class TestGTCameraFit:
+    def test_recovers_projection(self, rng):
+        from nemo_tpu.geometry import camera_from_params, project
+        import jax
+        # true camera with a small rotation
+        true9 = jnp.asarray(np.array(
+            [0.1, -0.05, 9.0, 1, 0.02, 0, 1, 0, 0.03], np.float32))
+        d0, d1 = 720.0, 1280.0
+        cam = camera_from_params(true9[None], d0, d1)
+        j3 = jnp.asarray(rng.randn(30, 25, 3).astype(np.float32))
+        j2 = project(j3, jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (30,) + a.shape[1:]), cam))
+        kp = jnp.concatenate([j2, jnp.ones((30, 25, 1))], -1)
+
+        out = fit_gt_camera(j3, kp, d0, d1, num_steps=800)
+        assert float(out["loss"][-1]) < float(out["loss"][0]) * 1e-2
+        # reprojection with the fitted camera matches
+        cam_fit = camera_from_params(out["cam9"][None], d0, d1)
+        j2_fit = project(j3, jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (30,) + a.shape[1:]), cam_fit))
+        err = np.abs(np.asarray(j2_fit - j2)).mean()
+        assert err < 30.0  # pixels; exact pose is ambiguous, projection isn't
