@@ -96,8 +96,8 @@ def _chamfer_kernel(a_ref, b_ref, min_ref, idx_ref, *, tile_m: int,
     best = jnp.full((a.shape[0],), jnp.inf, jnp.float32)
     best_idx = jnp.zeros((a.shape[0],), jnp.int32)
     best, best_idx = lax.fori_loop(0, n_tiles, body, (best, best_idx))
-    min_ref[:] = best
-    idx_ref[:] = best_idx
+    min_ref[:, :] = best.reshape(min_ref.shape)
+    idx_ref[:, :] = best_idx.reshape(idx_ref.shape)
 
 
 try:  # Pallas is TPU-only in practice; import guarded for CPU test runs.
@@ -109,7 +109,7 @@ except Exception:  # pragma: no cover
 
 
 def _nn_one_way_pallas(a: jnp.ndarray, b: jnp.ndarray,
-                       tile_n: int = 256, tile_m: int = 256
+                       tile_n: int = 1024, tile_m: int = 256
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N, M = a.shape[0], b.shape[0]
     pad_n = (-N) % tile_n
@@ -122,9 +122,15 @@ def _nn_one_way_pallas(a: jnp.ndarray, b: jnp.ndarray,
     Np, Mp = a_p.shape[0], b_p.shape[0]
 
     kernel = functools.partial(_chamfer_kernel, tile_m=tile_m, m_total=Mp)
+    n_tiles = Np // tile_n
+    # Each program writes its tile as an (8, tile_n//8... ) — Mosaic wants
+    # output blocks whose last two dims are multiples of (8, 128), so the
+    # (Np,) result is laid out as (n_tiles*8, tile_n//8) with (8, tile_n//8)
+    # blocks (tile_n = 1024 -> (8, 128) blocks).
+    sub = tile_n // 128
     mins, idxs = pl.pallas_call(
         kernel,
-        grid=(Np // tile_n,),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile_n, a.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -132,17 +138,17 @@ def _nn_one_way_pallas(a: jnp.ndarray, b: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_n,), lambda i: (i,),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n,), lambda i: (i,),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Np,), jnp.float32),
-            jax.ShapeDtypeStruct((Np,), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * sub, 128), jnp.int32),
         ],
     )(a_p, b_p)
-    return mins[:N], idxs[:N]
+    return mins.reshape(-1)[:N], idxs.reshape(-1)[:N]
 
 
 def nn_one_way(a: jnp.ndarray, b: jnp.ndarray, use_pallas: bool = None

@@ -43,10 +43,7 @@ def render_keypoint_rollout(path: str, pts2d_pred: np.ndarray, bundle,
                             num_frames: int = 5, num_views: int = 3) -> None:
     """Grid of [GT, OP, pred] skeleton overlays (render :282-…)."""
     plt = _plt()
-    V = min(bundle.num_views, num_views)
     Fidx = np.linspace(0, bundle.num_frames - 1, num_frames).astype(int)
-    fig, axs = plt.subplots(3, V * num_frames // num_frames,
-                            figsize=(3 * num_frames, 9))
     gt = bundle.labels.get("gt")
     op = bundle.labels.get("op")
     fig, axs = plt.subplots(3, num_frames, figsize=(3 * num_frames, 9))
