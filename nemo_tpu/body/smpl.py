@@ -171,11 +171,23 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     T_local = T_local.at[:, :, 3, 3].set(1.0)
 
     # Level-parallel composition: global[i] = global[parent[i]] @ local[i].
-    T_global = T_local
+    # Gather-only assembly (concat in topological order, inverse-permute at
+    # the end): scatter updates here trip an XLA simplifier bug under
+    # vmap-of-scan, and gathers fuse better anyway.
+    order = [0]
+    T_sofar = T_local[:, :1]
     for idx, par in _kinematic_levels(parents):
-        composed = jnp.einsum('bnij,bnjk->bnik', T_global[:, par],
-                              T_local[:, idx], precision=HI)
-        T_global = T_global.at[:, idx].set(composed)
+        parent_pos = np.asarray([order.index(int(p)) for p in par])
+        A = T_sofar[:, parent_pos]
+        Bm = T_local[:, idx]
+        # 4x4 products as multiply-reduce: dot_general with stacked batch
+        # dims hits an XLA verifier bug under vmap-of-scan, and at this size
+        # the VPU form is equally fast.
+        composed = jnp.sum(A[..., :, :, None] * Bm[..., None, :, :], axis=-2)
+        T_sofar = jnp.concatenate([T_sofar, composed], axis=1)
+        order.extend(int(i) for i in idx)
+    inv_perm = np.argsort(np.asarray(order))
+    T_global = T_sofar[:, inv_perm]
 
     posed_joints = T_global[:, :, :3, 3]
 

@@ -1,7 +1,8 @@
-"""Multi-chip scaling: meshes, shardings, data-parallel step wrappers."""
+"""Multi-chip scaling: meshes, shardings, dp step wrappers, seed fan-out."""
 
+from .fanout import fit_many_seeds
 from .mesh import (batch_sharding, data_parallel_step, make_mesh, replicated,
                    replicate_tree, shard_batch)
 
-__all__ = ["batch_sharding", "data_parallel_step", "make_mesh", "replicated",
-           "replicate_tree", "shard_batch"]
+__all__ = ["fit_many_seeds", "batch_sharding", "data_parallel_step",
+           "make_mesh", "replicated", "replicate_tree", "shard_batch"]
