@@ -120,6 +120,22 @@ def main(argv=None) -> int:
     out_dir = create_latest_child_dir(args.out_dir)
     cfg = dataclass_from_namespace(NemoConfig, args)
 
+    if args.load_ckpt_path:
+        # Rebuild the exact fit configuration the checkpoint was saved with
+        # (the reference's model_config.p round-trip, :156-197). Flags the
+        # user explicitly typed still win.
+        from ..utils import load_saved_config
+        from ..utils.config import explicit_cli_keys
+        saved = load_saved_config(args.load_ckpt_path)
+        if saved:
+            fields = NemoConfig.__dataclass_fields__
+            merged = {k: v for k, v in saved.items() if k in fields}
+            for k in explicit_cli_keys(argv):
+                if k in fields:
+                    merged[k] = getattr(args, k)
+            cfg = NemoConfig(**{**dataclasses.asdict(cfg), **merged})
+            print("[fit] restored model config from checkpoint")
+
     with open(osp.join(out_dir, "config.json"), "w") as f:
         json.dump({"args": vars(args), "cfg": dataclasses.asdict(cfg)}, f,
                   indent=2, default=str)
@@ -211,9 +227,12 @@ def main(argv=None) -> int:
         write_csv(stats3d_dyn, osp.join(out_dir, "eval_3d_dynamic.csv"))
 
     if args.render_video:
-        from ..render import render_keypoint_rollout
+        from ..render import render_keypoint_rollout, render_overlay_video
         render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
                                 pts2d, bundle)
+        out_vid = render_overlay_video(osp.join(out_dir, "overlay.mp4"),
+                                       pts2d, bundle, cfg.label_type)
+        print(f"[fit] overlay video: {out_vid}")
 
     metrics_log.close()
     print(f"[fit] outputs in {out_dir}")

@@ -4,9 +4,10 @@ from .resnet import (convert_torch_resnet50, init_resnet50, resnet50_features)
 from .hmr import (convert_torch_hmr, hmr_forward, hmr_head, imagenet_normalize,
                   init_hmr_head, weak_perspective_projection)
 from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
-                    humor_posterior, humor_prior, humor_roll_out,
-                    humor_single_step, humor_train_loss, init_humor,
-                    pack_state, split_state)
+                    humor_infer_seq, humor_posterior, humor_prior,
+                    humor_roll_out, humor_single_step, humor_train_loss,
+                    humor_transition_prior_loss, init_humor, pack_state,
+                    split_state)
 from .humor_eval import humor_eval_metrics
 from .humor_fit import MotionOptConfig, humor_motion_fit
 from .vibe_train import (VibeLossWeights, init_motion_discriminator,
@@ -24,6 +25,7 @@ __all__ = [
     "HumorConfig", "STATE_DIM", "gaussian_kl", "humor_decode",
     "humor_posterior", "humor_prior", "humor_roll_out", "humor_single_step",
     "humor_train_loss", "init_humor", "pack_state", "split_state",
+    "humor_infer_seq", "humor_transition_prior_loss",
     "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
     "VibeLossWeights", "init_motion_discriminator",
     "make_discriminator_train_step", "motion_discriminator",

@@ -242,6 +242,37 @@ def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
             "contacts": jnp.swapaxes(contacts, 0, 1)}
 
 
+def humor_infer_seq(p: Params, cfg: HumorConfig, states: jnp.ndarray
+                    ) -> Dict[str, jnp.ndarray]:
+    """Posterior latents for every transition of (B, T, D) state sequences.
+
+    The core of infer / infer_global_seq (:1064-1207): encode each
+    (state_t, state_t+1) pair; also return the conditional prior and the
+    per-transition KL — the sequence's 'likelihood under the motion prior'.
+    """
+    B, T, D = states.shape
+    past = states[:, :-1].reshape(B * (T - 1), D)
+    nxt = states[:, 1:].reshape(B * (T - 1), D)
+    qm, qv = humor_posterior(p, cfg, past, nxt)
+    pm, pv = humor_prior(p, cfg, past)
+    kl_per = 0.5 * (jnp.log(pv) - jnp.log(qv)
+                    + (qv + (qm - pm) ** 2) / pv - 1.0).sum(-1)
+    shape = (B, T - 1)
+    return {"z_mean": qm.reshape(shape + (-1,)),
+            "z_var": qv.reshape(shape + (-1,)),
+            "prior_mean": pm.reshape(shape + (-1,)),
+            "prior_var": pv.reshape(shape + (-1,)),
+            "kl": kl_per.reshape(shape)}
+
+
+def humor_transition_prior_loss(p: Params, cfg: HumorConfig,
+                                states: jnp.ndarray) -> jnp.ndarray:
+    """Mean KL(posterior || conditional prior) over sequence transitions —
+    the dynamics-prior regularizer of the dev variant
+    (neural_motion_model_jeff.py:2913-2937's weight_humor_loss term)."""
+    return humor_infer_seq(p, cfg, states)["kl"].mean()
+
+
 def gaussian_kl(qm, qv, pm, pv) -> jnp.ndarray:
     """KL(N(qm, qv) || N(pm, pv)) summed over dims, mean over batch."""
     kl = 0.5 * (jnp.log(pv) - jnp.log(qv) + (qv + (qm - pm) ** 2) / pv - 1.0)

@@ -101,3 +101,24 @@ class TestCSV:
         lines = open(p).read().strip().splitlines()
         assert lines[0] == ",mpjpe-ours,mpvpe-ours"
         assert lines[1].startswith("0,1.0,3.0")
+
+
+class TestEval3DGlobal:
+    def test_zero_error_for_identical_worlds(self, model, rng):
+        from nemo_tpu.eval import eval_3d_global
+        V, F = 1, 4
+        pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
+        stats = eval_3d_global(model, pose, trans, pose, trans)
+        assert stats["g_mpjpe-ours"][0] == pytest.approx(0.0, abs=0.5)
+        assert stats["g_mpvpe-ours"][0] == pytest.approx(0.0, abs=0.5)
+
+    def test_similarity_offset_removed(self, model, rng):
+        # a global rigid offset of the predicted world must be absorbed by
+        # the frame-0 alignment
+        from nemo_tpu.eval import eval_3d_global
+        V, F = 1, 4
+        pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
+        stats = eval_3d_global(model, pose, trans + 5.0, pose, trans)
+        assert stats["g_mpjpe-ours"][0] < 1.0  # mm
