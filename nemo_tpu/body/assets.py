@@ -16,7 +16,6 @@ hmr/hmr_config.py (asset paths).
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 from typing import Optional

@@ -22,7 +22,6 @@ Bundle contents (V = views, F = common frame count):
 from __future__ import annotations
 
 import dataclasses
-import io
 import os
 from typing import Dict, Optional
 

@@ -57,7 +57,6 @@ def init_camera_params(key, num_views: int, img_d0: float,
     +1 on indices 3 and 6 (near-identity 6D rotation) and depth init
     2f / IMG_D0 on index 2.
     """
-    import jax
     p = 1e-4 * jax.random.normal(key, (num_views, 9), dtype=jnp.float32)
     p = p.at[:, 3].add(1.0)
     p = p.at[:, 6].add(1.0)

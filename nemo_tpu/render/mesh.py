@@ -75,12 +75,41 @@ def splat_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
     return img.reshape(H, W, 3), mask.reshape(H, W)
 
 
+def upsample_faces(verts: jnp.ndarray, colors: jnp.ndarray,
+                   faces: np.ndarray, samples_per_face: int = 8
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Barycentric interior samples of every triangle.
+
+    Turns surface rasterization into dense point splatting — an XLA-clean
+    stand-in for a triangle scanline rasterizer: each face contributes
+    `samples_per_face` interpolated points (position + color), which close
+    up the mesh at overlay resolutions. Deterministic low-discrepancy
+    barycentric pattern.
+    """
+    k = np.arange(1, samples_per_face + 1)
+    u = (k * 0.618033988749895) % 1.0     # golden-ratio sequence
+    v = (k * 0.754877666246693) % 1.0
+    flip = u + v > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    w = 1 - u - v
+    bary = jnp.asarray(np.stack([w, u, v], 1), jnp.float32)   # (S, 3)
+
+    tri = verts[faces]                                        # (F, 3, 3)
+    tri_c = colors[faces]                                     # (F, 3, 3)
+    pts = jnp.einsum('sk,fkd->fsd', bary, tri).reshape(-1, 3)
+    cols = jnp.einsum('sk,fkd->fsd', bary, tri_c).reshape(-1, 3)
+    return (jnp.concatenate([verts, pts], axis=0),
+            jnp.concatenate([colors, cols], axis=0))
+
+
 def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
                         camera: Camera, image: Optional[np.ndarray],
                         img_hw: Tuple[int, int],
                         base_color=(0.65, 0.74, 0.86),
                         light_dir=(0.0, -0.4, -1.0),
-                        alpha: float = 0.9) -> np.ndarray:
+                        alpha: float = 0.9,
+                        samples_per_face: int = 8) -> np.ndarray:
     """Render one SMPL mesh over a frame (Renderer.__call__ semantics).
 
     verts_world: (V, 3); camera: a Camera with batch dims stripped;
@@ -95,6 +124,10 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     l = l / jnp.linalg.norm(l)
     diffuse = jnp.clip(-(n @ l), 0.2, 1.0)[:, None]
     colors = diffuse * jnp.asarray(base_color)
+
+    if samples_per_face > 0 and len(faces):
+        verts_cam, colors = upsample_faces(verts_cam, colors, faces,
+                                           samples_per_face)
 
     cx, cy = float(camera.center[0]), float(camera.center[1])
     img, mask = splat_render(verts_cam, colors, float(camera.focal_length),

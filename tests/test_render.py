@@ -58,3 +58,40 @@ class TestMeshOverlay:
         used = np.unique(faces)
         norms = np.linalg.norm(n[used], axis=1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+class TestFaceUpsampling:
+    def test_samples_lie_in_triangle_plane(self, rng):
+        from nemo_tpu.render import upsample_faces
+        verts = jnp.asarray(rng.randn(6, 3).astype(np.float32))
+        colors = jnp.ones((6, 3))
+        faces = np.array([[0, 1, 2]])
+        pts, cols = upsample_faces(verts, colors, faces, samples_per_face=4)
+        assert pts.shape == (10, 3)  # 6 verts + 4 samples
+        # each sample is a convex combination of the 3 face vertices
+        tri = np.asarray(verts)[faces[0]]
+        for s in np.asarray(pts[6:]):
+            # solve barycentric coords; residual must vanish
+            A = np.concatenate([tri.T, np.ones((1, 3))], 0)
+            b = np.concatenate([s, [1.0]])
+            lam, res, *_ = np.linalg.lstsq(A, b, rcond=None)
+            assert np.abs(A @ lam - b).max() < 1e-5
+            assert (lam > -1e-5).all()
+
+    def test_denser_coverage(self):
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.geometry import Camera
+        from nemo_tpu.render import render_mesh_overlay
+        model = synthetic_smpl_model(num_vertices=300, seed=0)
+        verts = jnp.asarray(np.asarray(model.v_template))
+        faces = np.stack([np.arange(0, 100), np.arange(1, 101),
+                          np.arange(2, 102)], 1)
+        cam = Camera(rotation=jnp.eye(3),
+                     translation=jnp.array([0.0, 0.0, 6.0]),
+                     focal_length=jnp.asarray(400.0),
+                     center=jnp.array([64.0, 64.0]))
+        sparse = render_mesh_overlay(verts, faces, cam, None, (128, 128),
+                                     samples_per_face=0)
+        dense = render_mesh_overlay(verts, faces, cam, None, (128, 128),
+                                    samples_per_face=12)
+        assert (dense < 0.99).sum() >= (sparse < 0.99).sum()
