@@ -180,10 +180,13 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
         parent_pos = np.asarray([order.index(int(p)) for p in par])
         A = T_sofar[:, parent_pos]
         Bm = T_local[:, idx]
-        # 4x4 products as multiply-reduce: dot_general with stacked batch
-        # dims hits an XLA verifier bug under vmap-of-scan, and at this size
-        # the VPU form is equally fast.
-        composed = jnp.sum(A[..., :, :, None] * Bm[..., None, :, :], axis=-2)
+        # 4x4 products with the (batch, joint) axes flattened: dot_general
+        # with >=3 stacked batch dims hits an XLA verifier bug under
+        # vmap-of-scan; a single flattened batch dim is the standard batched
+        # matmul path.
+        n = A.shape[1]
+        composed = jnp.matmul(A.reshape(-1, 4, 4), Bm.reshape(-1, 4, 4),
+                              precision=HI).reshape(A.shape[0], n, 4, 4)
         T_sofar = jnp.concatenate([T_sofar, composed], axis=1)
         order.extend(int(i) for i in idx)
     inv_perm = np.argsort(np.asarray(order))

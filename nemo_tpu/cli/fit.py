@@ -225,6 +225,15 @@ def main(argv=None) -> int:
                               baselines, dynamic_only=True,
                               framerate_multiplier=bundle.framerate_multiplier)
         write_csv(stats3d_dyn, osp.join(out_dir, "eval_3d_dynamic.csv"))
+        if bundle.gt3d_trans is not None:
+            from ..eval import eval_3d_global
+            from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
+            orient_aa = np.asarray(preds["orient_aa"]).reshape(V, F, 3)
+            pred72 = np.concatenate([orient_aa, pred_pose], axis=-1)
+            pred_trans = np.asarray(preds["trans"]).reshape(V, F, 3)
+            stats_g = eval_3d_global(assets.smpl, pred72, pred_trans,
+                                     bundle.gt3d_pose, bundle.gt3d_trans)
+            write_csv(stats_g, osp.join(out_dir, "eval_3d_global.csv"))
 
     if args.render_video:
         from ..render import render_keypoint_rollout, render_overlay_video

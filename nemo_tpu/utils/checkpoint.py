@@ -84,3 +84,37 @@ def load_fit_state(path: str, state):
 def load_saved_config(path: str) -> Dict[str, Any]:
     with open(osp.join(path, "meta.json")) as f:
         return json.load(f).get("config", {})
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional): async-friendly checkpointing for long runs
+# ---------------------------------------------------------------------------
+
+def save_fit_state_orbax(path: str, state, cfg=None) -> None:
+    """Orbax-based save of the same fit state (structured pytree)."""
+    import orbax.checkpoint as ocp
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "plateau": state.plateau, "key": state.key}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(osp.abspath(path), payload, force=True)
+    meta = {"step": int(state.step)}
+    if cfg is not None:
+        meta["config"] = dataclasses.asdict(cfg)
+    with open(osp.join(path, "nemo_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_fit_state_orbax(path: str, state):
+    """Restore a fit state saved with save_fit_state_orbax."""
+    import orbax.checkpoint as ocp
+    from ..fit.loop import FitState
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "plateau": state.plateau, "key": state.key}
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(osp.abspath(path), template)
+    with open(osp.join(path, "nemo_meta.json")) as f:
+        meta = json.load(f)
+    return FitState(params=restored["params"],
+                    opt_state=restored["opt_state"],
+                    plateau=restored["plateau"], key=restored["key"],
+                    step=meta["step"])

@@ -102,3 +102,24 @@ class TestTraining:
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
         # encoder must receive gradient
         assert np.abs(np.asarray(g["encoder"]["w0"])).max() > 0
+
+
+class TestHumorEval:
+    def test_eval_metrics_finite(self, humor, rng):
+        from nemo_tpu.models import humor_eval_metrics
+        cfg, p = humor
+        seqs = (0.1 * rng.randn(2, 6, STATE_DIM)).astype(np.float32)
+        m = humor_eval_metrics(p, cfg, seqs, rollout_steps=3)
+        assert set(m) == {"one_step_rec", "rollout_drift", "prior_kl"}
+        assert all(np.isfinite(v) for v in m.values())
+
+    def test_infer_seq_and_transition_loss(self, humor, rng):
+        from nemo_tpu.models import humor_infer_seq, humor_transition_prior_loss
+        cfg, p = humor
+        seqs = jnp.asarray((0.1 * rng.randn(2, 5, STATE_DIM))
+                           .astype(np.float32))
+        out = humor_infer_seq(p, cfg, seqs)
+        assert out["z_mean"].shape == (2, 4, 48)
+        assert out["kl"].shape == (2, 4)
+        loss = float(humor_transition_prior_loss(p, cfg, seqs))
+        np.testing.assert_allclose(loss, float(out["kl"].mean()), rtol=1e-5)

@@ -100,3 +100,30 @@ class TestCheckpoint:
         from nemo_tpu.utils import load_saved_config
         saved = load_saved_config(ck)
         assert saved["h_dim"] == 8
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import pytest
+        pytest.importorskip("orbax.checkpoint")
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.data import synthetic_problem
+        from nemo_tpu.fit import NemoConfig, NemoFitter, build_assets
+        from nemo_tpu.utils import load_fit_state_orbax, save_fit_state_orbax
+
+        model = synthetic_smpl_model(num_vertices=120, seed=0)
+        bundle, _ = synthetic_problem(model, num_views=2, num_frames=5)
+        cfg = NemoConfig(model_version=1, h_dim=8, instance_code_size=0,
+                         monotonic_network_n_nodes=3, batch_size=4,
+                         weight_gmm_loss=0.0, label_type="gt")
+        assets = build_assets(bundle, model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=5)
+        fitter.fit(steps=2, chunk=2)
+        ck = str(tmp_path / "orbax_ck")
+        save_fit_state_orbax(ck, fitter.state, cfg)
+        fresh = NemoFitter(cfg, assets, seed=42)
+        restored = load_fit_state_orbax(ck, fresh.state)
+        for a, b in zip(jax.tree_util.tree_leaves(fitter.state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert restored.step == 2
