@@ -80,7 +80,8 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
                        tracks: Dict[int, Dict[str, np.ndarray]],
                        backbone, gru, head, smpl,
                        min_track_len: int = 25,
-                       batch_time: int = 64) -> Dict[int, dict]:
+                       batch_time: int = 64,
+                       out_res: int = 224) -> Dict[int, dict]:
     """Per-tracklet VIBE inference -> vibe_output-format dict.
 
     frames: list of (H, W, 3) uint8 images. Mirrors demo2.py's structure:
@@ -95,7 +96,7 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
         if len(tr["frame_ids"]) < min_track_len:
             continue
         crops = np.stack([
-            get_single_image_crop(frames[f], bbox_to_cs(b))
+            get_single_image_crop(frames[f], bbox_to_cs(b), out_res=out_res)
             for f, b in zip(tr["frame_ids"], tr["bboxes"])])
         results = {"theta": [], "kp_2d": []}
         for s in range(0, len(crops), batch_time):

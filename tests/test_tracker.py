@@ -58,3 +58,36 @@ class TestGTCameraFit:
             lambda a: jnp.broadcast_to(a, (30,) + a.shape[1:]), cam_fit))
         err = np.abs(np.asarray(j2_fit - j2)).mean()
         assert err < 30.0  # pixels; exact pose is ambiguous, projection isn't
+
+
+class TestVibePipeline:
+    def test_tracks_to_vibe_output(self, rng):
+        """Full pipeline on tiny frames with random weights: structure of the
+        vibe_output dict must match what the data layer consumes."""
+        import jax
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.data import run_vibe_on_tracks, track_bboxes
+        from nemo_tpu.data.vibe import densify_person, vibe_to_theta
+        from nemo_tpu.models import init_gru, init_hmr_head, init_resnet50
+
+        frames = [(rng.rand(48, 64, 3) * 255).astype(np.uint8)
+                  for _ in range(6)]
+        dets = [np.array([[8, 4, 40, 44]], np.float32)] * 6
+        tracks = track_bboxes(dets)
+        out = run_vibe_on_tracks(
+            frames, tracks,
+            init_resnet50(jax.random.PRNGKey(0)),
+            init_gru(jax.random.PRNGKey(1)),
+            init_hmr_head(jax.random.PRNGKey(2)),
+            synthetic_smpl_model(num_vertices=150, seed=0),
+            min_track_len=3, out_res=64)
+        assert len(out) == 1
+        person = next(iter(out.values()))
+        assert person["pose"].shape == (6, 72)
+        assert person["betas"].shape == (6, 10)
+        assert person["joints2d_img_coord"].shape == (6, 49, 2)
+        # and it round-trips through the NeMo data layer
+        dense = densify_person(person, 8)
+        theta = vibe_to_theta(dense)
+        assert theta.shape == (8, 70)
+        np.testing.assert_allclose(theta[:6, -1], 1.0)
