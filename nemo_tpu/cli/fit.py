@@ -191,6 +191,13 @@ def main(argv=None) -> int:
             all_metrics = fitter.fit(chunk=args.save_every,
                                      on_chunk=on_chunk)
         np.savez(osp.join(out_dir, "losses.npz"), **all_metrics)
+        from ..render import render_loss_curves
+        render_loss_curves(out_dir, all_metrics)
+
+    # learned phase-warp plot (entry script :316-328)
+    from ..render import render_phase_plot
+    render_phase_plot(osp.join(out_dir, "phases.png"),
+                      fitter.state.params["phase"], assets.num_views)
 
     # final evaluation
     final = fitter.eval_loss()
