@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--mocap_pkl", type=str, default="")
     p.add_argument("--gt_cam_paths", type=str, default="",
                    help="comma-separated opt_cam .npy paths (one per view)")
+    p.add_argument("--penn_mats", type=str, default="",
+                   help="comma-separated Penn Action labels/NNNN.mat paths "
+                        "(one per view) -> 'gt' 2D labels via the 13->25 "
+                        "L/R-swapped mapping")
     return p
 
 
@@ -91,7 +95,13 @@ def main(argv=None) -> int:
     theta_all = resample_to_common_frames(theta_per_view, F, args.start_phase)
 
     labels = {"op": op_all.astype(np.float32)}
-    if all(g is not None for g in gt_per_view):
+    if args.penn_mats:
+        # Penn Action GT labels (PennActionMultiViewSequence's source)
+        from ..data import load_penn_sequence
+        penn = [load_penn_sequence(p) for p in args.penn_mats.split(",")]
+        labels["gt"] = resample_to_common_frames(
+            penn, F, args.start_phase).astype(np.float32)
+    elif all(g is not None for g in gt_per_view):
         labels["gt"] = resample_to_common_frames(
             gt_per_view, F, args.start_phase).astype(np.float32)
 

@@ -5,8 +5,9 @@ from .ik import IKConfig, ik_fit
 from .robustifiers import angle_prior, gmof
 from .smplify import (smplify_body_fitting_loss, smplify_camera_fitting_loss,
                       smplify_fit)
-from .vposer_train import (VPoserTrainConfig, make_vposer_train_step,
-                           train_vposer, vposer_train_loss)
+from .vposer_train import (VPoserTrainConfig, load_amass_pose_data,
+                           make_vposer_train_step, train_vposer,
+                           vposer_train_loss)
 from .vposer import (
     VPoserConfig,
     convert_torch_state_dict,
@@ -25,5 +26,5 @@ __all__ = [
     "VPoserConfig", "convert_torch_state_dict",
     "init_vposer", "load_vposer", "vposer_decode", "vposer_encode",
     "vposer_kl_to_std_normal", "VPoserTrainConfig", "make_vposer_train_step",
-    "train_vposer", "vposer_train_loss",
+    "train_vposer", "vposer_train_loss", "load_amass_pose_data",
 ]

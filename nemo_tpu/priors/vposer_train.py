@@ -28,6 +28,25 @@ from ..geometry.rotations import batch_rodrigues
 from .vposer import Params, vposer_decode
 
 
+def load_amass_pose_data(paths, max_per_file: Optional[int] = None
+                         ) -> np.ndarray:
+    """Load AMASS-style npz motion files into a (N, 63) body-pose bank.
+
+    AMASS npz files carry 'poses' (T, 156) SMPL-H axis-angle; the body pose
+    is columns 3:66 (21 joints) — the slice VPoser trains on
+    (prepare_vposer_datasets, vposer_trainer.py:271-278).
+    """
+    banks = []
+    for path in paths:
+        data = np.load(path)
+        poses = np.asarray(data["poses"], np.float32)
+        body = poses[:, 3:66]
+        if max_per_file is not None:
+            body = body[:max_per_file]
+        banks.append(body)
+    return np.concatenate(banks, axis=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class VPoserTrainConfig:
     lr: float = 1e-3
