@@ -89,6 +89,12 @@ def _assemble(v_template, shapedirs, posedirs, J_regressor, weights, parents,
         vids = (vids * V) // 6890
     ES, EP, EW = build_fused_tables(weights, J_regressor_extra, vids,
                                     posedirs)
+    # vertex-major twins for the Pallas skinning path
+    posedirs_t = np.ascontiguousarray(
+        posedirs.reshape(-1, V, 3).transpose(0, 2, 1))  # (207, 3, V)
+    weights_t = np.ascontiguousarray(weights.T)          # (24, V)
+    from ..ops.lbs_pallas import tile_tables
+    pd_tiles, w_tiles, _ = tile_tables(posedirs_t, weights_t)
     return SMPLModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(shapedirs),
@@ -97,6 +103,10 @@ def _assemble(v_template, shapedirs, posedirs, J_regressor, weights, parents,
         lbs_weights=jnp.asarray(weights),
         J_regressor_extra=jnp.asarray(J_regressor_extra),
         fused_ES=ES, fused_EP=EP, fused_EW=EW,
+        posedirs_t=jnp.asarray(posedirs_t),
+        lbs_weights_t=jnp.asarray(weights_t),
+        pd_tiles=jnp.asarray(pd_tiles),
+        w_tiles=jnp.asarray(w_tiles),
         parents=parents,
         vertex_joint_ids=np.asarray(vids),
         joint_map=constants.JOINT_MAP,

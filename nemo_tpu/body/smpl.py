@@ -57,6 +57,11 @@ class SMPLModel:
     fused_ES: jnp.ndarray           # (30, 24)
     fused_EP: jnp.ndarray           # (30, 24, 3, 207)
     fused_EW: jnp.ndarray           # (30, V, 24)
+    # vertex-major twins for the Pallas skinning kernel (ops/lbs_pallas.py):
+    posedirs_t: jnp.ndarray         # (207, 3, V)
+    lbs_weights_t: jnp.ndarray      # (24, V)
+    pd_tiles: jnp.ndarray           # (nv, 3, 207, tv) kernel layout
+    w_tiles: jnp.ndarray            # (nv, 24, tv) kernel layout
     # static metadata:
     parents: np.ndarray             # (24,) int
     vertex_joint_ids: np.ndarray    # (21,) int vertex ids appended as joints
@@ -70,7 +75,8 @@ class SMPLModel:
 
 _ARRAY_FIELDS = ("v_template", "shapedirs", "posedirs", "J_regressor",
                  "lbs_weights", "J_regressor_extra",
-                 "fused_ES", "fused_EP", "fused_EW")
+                 "fused_ES", "fused_EP", "fused_EW",
+                 "posedirs_t", "lbs_weights_t", "pd_tiles", "w_tiles")
 _STATIC_FIELDS = ("parents", "vertex_joint_ids", "joint_map", "faces")
 
 
@@ -202,6 +208,46 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     return posed_joints, rel
 
 
+def fk_rt(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: np.ndarray
+          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FK as (R, t) pairs — no 4x4 padding/assembly.
+
+    Same level-parallel gather-only composition as batch_rigid_transform but
+    ~2x cheaper fwd+bwd (the 4x4 form spends half its work on constant rows).
+    Returns (R_global (B, J, 3, 3), posed_joints (B, J, 3),
+    t_rel (B, J, 3)) where the skinning transform is [R_global | t_rel]
+    with t_rel = posed_joint - R_global @ rest_joint.
+    """
+    if joints.ndim == 2:
+        joints = joints[None]
+    B, J = rot_mats.shape[0], rot_mats.shape[1]
+    joints = jnp.broadcast_to(joints, (B, J, 3))
+    parents = np.asarray(parents)
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    order = [0]
+    R_sofar = rot_mats[:, :1]
+    t_sofar = joints[:, :1]
+    for idx, par in _kinematic_levels(parents):
+        parent_pos = np.asarray([order.index(int(p)) for p in par])
+        Rp = R_sofar[:, parent_pos]
+        tp = t_sofar[:, parent_pos]
+        n = len(idx)
+        Rl = rot_mats[:, idx]
+        tl = rel_joints[:, idx]
+        R_new = jnp.matmul(Rp.reshape(-1, 3, 3), Rl.reshape(-1, 3, 3),
+                           precision=HI).reshape(B, n, 3, 3)
+        t_new = jnp.einsum('bnij,bnj->bni', Rp, tl, precision=HI) + tp
+        R_sofar = jnp.concatenate([R_sofar, R_new], axis=1)
+        t_sofar = jnp.concatenate([t_sofar, t_new], axis=1)
+        order.extend(int(i) for i in idx)
+    inv_perm = np.argsort(np.asarray(order))
+    R_g = R_sofar[:, inv_perm]
+    posed = t_sofar[:, inv_perm]
+    t_rel = posed - jnp.einsum('bnij,bnj->bni', R_g, joints, precision=HI)
+    return R_g, posed, t_rel
+
+
 def smpl_forward(model: SMPLModel,
                  betas: jnp.ndarray,
                  body_pose: jnp.ndarray,
@@ -294,3 +340,35 @@ def smpl_forward(model: SMPLModel,
     if transl is not None:
         joints49 = joints49 + transl[:, None, :]
     return None, joints49
+
+
+def smpl_verts_t(model: SMPLModel, betas: jnp.ndarray,
+                 body_rot: jnp.ndarray, orient_rot: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Vertex-major SMPL vertices (B, 3, V) through the fused skinning op.
+
+    Same math as smpl_forward(want_vertices=True) minus the joint outputs;
+    FK runs in (R, t)-pair form and skinning through
+    ops/lbs_pallas.skin_verts_t (Pallas on TPU, XLA elsewhere). Requires
+    shared betas (shape (1, 10)).
+    """
+    from ..ops.lbs_pallas import skin_verts_t
+
+    B = body_rot.shape[0]
+    rot_mats = jnp.concatenate(
+        [jnp.broadcast_to(orient_rot.reshape(-1, 1, 3, 3), (B, 1, 3, 3)),
+         body_rot], axis=1)
+    v_shaped = model.v_template + jnp.einsum(
+        'bl,mkl->bmk', betas, model.shapedirs, precision=HI)
+    if v_shaped.shape[0] != 1:
+        raise NotImplementedError("smpl_verts_t requires shared betas")
+    J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped, precision=HI)
+
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pf = (rot_mats[:, 1:] - ident).reshape(B, 23 * 9)
+    R_g, _, t_rel = fk_rt(rot_mats, J, model.parents)
+    A34 = jnp.concatenate([R_g, t_rel[..., None]], axis=-1).reshape(
+        B, NUM_JOINTS, 12)
+
+    return skin_verts_t(model.num_vertices, pf, A34, v_shaped[0].T,
+                        model.pd_tiles, model.w_tiles)

@@ -278,18 +278,20 @@ def project_to_views(params: Params, cfg: NemoConfig, assets: NemoAssets,
 def _smpl_verts_from_aa(params: Params, assets: NemoAssets,
                         poses_aa: jnp.ndarray, orient6d: jnp.ndarray
                         ) -> jnp.ndarray:
-    """SMPL vertices from axis-angle body pose (vposer_loss path :2786-2791).
+    """SMPL vertices (vertex-major, (B, 3, V)) from axis-angle body pose
+    (vposer_loss path :2786-2791).
 
     The reference re-converts the predicted axis-angle through Rodrigues for
     both the original and reconstructed poses, so gradients flow through the
-    aa representation; we replicate exactly.
+    aa representation; we replicate exactly. Runs through the fused Pallas
+    skinning op (ops/lbs_pallas.py) — the v2v L1 downstream is
+    layout-agnostic, so the mesh is never transposed back.
     """
+    from ..body.smpl import smpl_verts_t
     B = poses_aa.shape[0]
     rot = batch_rodrigues(poses_aa.reshape(B, 23, 3))
     orient_rot = rot6d_to_rotmat(orient6d)[:, None]
-    verts, _ = smpl_forward(assets.smpl, params["betas"], rot, orient_rot,
-                            want_vertices=True)
-    return verts
+    return smpl_verts_t(assets.smpl, params["betas"], rot, orient_rot)
 
 
 def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
@@ -307,8 +309,9 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     recon = jnp.concatenate(
         [dec["pose_body"].reshape(B, 63), poses[:, 63:]], axis=1)
 
-    # NB: keep these as two B-sized forwards — a single 2B-batched forward
-    # doubles the peak skinning intermediates and measured 30% slower.
+    # Two B-sized forwards measure fastest here (2B-batching was tried twice:
+    # it doubles FK tensor traffic and scheduled worse both with XLA and
+    # Pallas skinning).
     verts_orig = _smpl_verts_from_aa(params, assets, poses, orient6d)
     verts_rec = _smpl_verts_from_aa(params, assets, recon, orient6d)
     v2v = jnp.abs(jax.lax.stop_gradient(verts_rec) - verts_orig).mean()

@@ -1,0 +1,334 @@
+"""Fused LBS skinning as a Pallas TPU kernel (vertex-major layout).
+
+The hot tensor op of the whole framework: posing the 6890-vertex SMPL mesh
+at batch 512, three times per optimization step when the VPoser v2v prior is
+active. XLA's best contraction order materializes the blended per-vertex
+transform matrices M = W·A — (B, V, 12) ≈ 169 MB read+written per forward —
+so the step is HBM-bound at ~4.8 ms. This kernel keeps M in VMEM per tile
+and fuses pose-blendshape matmul + matrix blending + transform, cutting HBM
+traffic to [posedirs read + verts write] ≈ 60 MB per forward.
+
+Layout: vertex-major ("_t") — the vertex axis rides the 128-wide lane
+dimension:
+    posedirs_t: (207, 3, V)    v_shaped_t: (3, V)    W_t: (24, V)
+    output verts_t: (B, 3, V)
+Downstream consumers (L1 v2v loss, joint regressors) are contraction-based
+and layout-agnostic, so nothing ever transposes back to (B, V, 3).
+
+Custom VJP: backward is a second Pallas kernel producing gradients for the
+pose features and the bone transforms (and v_shaped for the betas chain);
+W/posedirs are frozen model constants.
+
+Behavioral reference for the math: human_body_prior/body_model/lbs.py:
+164-260 (pose blendshapes + skinning), identical to body/smpl.py's XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HI = jax.lax.Precision.HIGHEST
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (any backend; also the parity oracle)
+# ---------------------------------------------------------------------------
+
+def _skin_verts_t_xla(pf: jnp.ndarray, A34: jnp.ndarray,
+                      v_shaped_t: jnp.ndarray, posedirs_t: jnp.ndarray,
+                      W_t: jnp.ndarray) -> jnp.ndarray:
+    """verts_t (B, 3, V) from pf (B, 207), A34 (B, 24, 12),
+    v_shaped_t (3, V), posedirs_t (207, 3, V), W_t (24, V)."""
+    B = pf.shape[0]
+    V = v_shaped_t.shape[-1]
+    offsets = jnp.einsum('bp,pkv->bkv', pf, posedirs_t, precision=HI)
+    vposed = offsets + v_shaped_t                      # (B, 3, V)
+    vph = jnp.concatenate(
+        [vposed, jnp.ones((B, 1, V), vposed.dtype)], axis=1)  # (B, 4, V)
+    # M_t[b, i*4+k, v] = sum_j A34[b, j, i*4+k] W_t[j, v]
+    M_t = jnp.einsum('bjl,jv->blv', A34, W_t, precision=HI)   # (B, 12, V)
+    M4 = M_t.reshape(B, 3, 4, V)
+    return jnp.einsum('bikv,bkv->biv', M4, vph, precision=HI)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, out_ref,
+                *, tb: int, tv: int):
+    """Grid (nB, nV), fully vectorized — no per-batch loop. Blocks:
+    pf (TB, 207), a34 (12, TB, 24) [component-plane-major A^T], vsh (3, TV),
+    pd (3, 207, TV), w (24, TV), out (TB, 3, TV).
+
+    Each of the 12 transform components l = i*4+k is blended for the whole
+    batch tile with one MXU matmul: M_l (TB, TV) = A_l @ W."""
+    pf = pf_ref[:, :]
+    w = w_ref[0]                                        # (24, TV)
+    vsh = vsh_ref[0]                                    # (3, TV)
+
+    # vph planes (TB, TV) per coordinate k
+    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32)
+          + vsh[k] for k in range(3)]
+
+    def m_plane(l):
+        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32)
+
+    for i in range(3):
+        acc = m_plane(i * 4 + 3)                        # translation
+        for k in range(3):
+            acc = acc + m_plane(i * 4 + k) * vp[k]
+        out_ref[:, i, :] = acc
+
+
+def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
+                tb: int = 128) -> jnp.ndarray:
+    """pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv) pre-tiled host-side
+    (tile_tables); only the per-call tensors are padded here."""
+    B = pf.shape[0]
+    nv, _, _, tv = pd_tiles.shape
+    Vp = nv * tv
+    pad_b = (-B) % tb
+    Bp = B + pad_b
+
+    pf_p = jnp.pad(pf, ((0, pad_b), (0, 0)))
+    # (B, 24, 12) -> (12, B, 24) component-plane-major: each plane l is a
+    # contiguous (B, 24) matrix the kernel matmuls independently (Mosaic
+    # supports neither lane-split reshapes nor strided sublane slices).
+    A_p = jnp.pad(A34.transpose(2, 0, 1), ((0, 0), (0, pad_b), (0, 0)))
+    vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
+    vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)     # (nv, 3, tv)
+
+    kernel = functools.partial(_fwd_kernel, tb=tb, tv=tv)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // tb, nv),
+        in_specs=[
+            pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, 24), lambda bi, vi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tv), lambda bi, vi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 207, tv), lambda bi, vi: (vi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, tv), lambda bi, vi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.float32),
+    )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles)
+    return out[:B, :, :V]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
+                gpf_ref, ga_ref, gvsh_ref, *, tb: int, tv: int):
+    """Grid (nB, nV) with V innermost, fully vectorized; accumulates over V
+    tiles into g_pf (TB, 207) and g_A (12, TB, 24); g_vsh gets a per-(bi,vi)
+    block summed on the host."""
+    vi = pl.program_id(1)
+
+    pf = pf_ref[:, :]
+    w = w_ref[0]                                        # (24, TV)
+    vsh = vsh_ref[0]                                    # (3, TV)
+
+    @pl.when(vi == 0)
+    def _():
+        gpf_ref[:, :] = jnp.zeros_like(gpf_ref)
+        ga_ref[:, :, :] = jnp.zeros_like(ga_ref)
+
+    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32)
+          + vsh[k] for k in range(3)]                   # (TB, TV) x3
+    g = [g_ref[:, i, :] for i in range(3)]              # (TB, TV) x3
+
+    # g_A planes: gA_l = gm_l @ w^T with gm_{i*4+k} = g_i * vph_k
+    for i in range(3):
+        for k in range(4):
+            gm = g[i] * vp[k] if k < 3 else g[i]
+            ga_ref[i * 4 + k] += jax.lax.dot_general(
+                gm, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (TB, 24)
+
+    def m_plane(l):
+        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32)
+
+    gvp = [m_plane(0 + k) * g[0] + m_plane(4 + k) * g[1]
+           + m_plane(8 + k) * g[2] for k in range(3)]   # (TB, TV) x3
+
+    # g_pf (TB, 207) += sum_k gvp_k @ pd_k^T
+    acc = gpf_ref[:, :]
+    for k in range(3):
+        acc = acc + jax.lax.dot_general(
+            gvp[k], pd_ref[0, k], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    gpf_ref[:, :] = acc
+
+    for k in range(3):
+        gvsh_ref[0, 0, k, :] = jnp.sum(gvp[k], axis=0)
+
+
+def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
+                tb: int = 128):
+    B = pf.shape[0]
+    nv, _, _, tv = pd_tiles.shape
+    Vp = nv * tv
+    pad_b = (-B) % tb
+    Bp = B + pad_b
+
+    pf_p = jnp.pad(pf, ((0, pad_b), (0, 0)))
+    A_p = jnp.pad(A34.transpose(2, 0, 1), ((0, 0), (0, pad_b), (0, 0)))
+    vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
+    vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)
+    g_p = jnp.pad(g, ((0, pad_b), (0, 0), (0, Vp - V)))
+
+    kernel = functools.partial(_bwd_kernel, tb=tb, tv=tv)
+    gpf, ga, gvsh_tiles = pl.pallas_call(
+        kernel,
+        grid=(Bp // tb, nv),
+        in_specs=[
+            pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, 24), lambda bi, vi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tv), lambda bi, vi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 207, tv), lambda bi, vi: (vi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, tv), lambda bi, vi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, 24), lambda bi, vi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, tv), lambda bi, vi: (bi, vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 207), jnp.float32),
+            jax.ShapeDtypeStruct((12, Bp, 24), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // tb, nv, 3, tv), jnp.float32),
+        ],
+    )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles, g_p)
+
+    gvsh = gvsh_tiles.sum(axis=0).transpose(1, 0, 2).reshape(3, Vp)[:, :V]
+    ga_b = ga.transpose(1, 2, 0)[:B]                    # (B, 24, 12)
+    return gpf[:B], ga_b, gvsh
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return _HAS_PALLAS and jax.default_backend() == "tpu"
+
+
+CANONICAL_TV = 512
+
+
+def tile_tables(posedirs_t: np.ndarray, W_t: np.ndarray,
+                tv: int = CANONICAL_TV):
+    """Pre-tile the frozen model tables into kernel layout (host, once).
+
+    Returns (pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv), V) with the
+    vertex axis padded to a tile multiple. Re-tiling 17 MB of posedirs per
+    call inside jit costs more than the kernel itself — these live in the
+    SMPLModel instead.
+    """
+    posedirs_t = np.asarray(posedirs_t)
+    W_t = np.asarray(W_t)
+    V = posedirs_t.shape[-1]
+    pad_v = (-V) % tv
+    pd_p = np.pad(posedirs_t, ((0, 0), (0, 0), (0, pad_v)))
+    w_p = np.pad(W_t, ((0, 0), (0, pad_v)))
+    nv = (V + pad_v) // tv
+    pd_tiles = np.ascontiguousarray(
+        pd_p.reshape(207, 3, nv, tv).transpose(2, 1, 0, 3))
+    w_tiles = np.ascontiguousarray(
+        w_p.reshape(24, nv, tv).transpose(1, 0, 2))
+    return pd_tiles, w_tiles, V
+
+
+def _untile(pd_tiles, w_tiles, V):
+    """Kernel layout -> logical (posedirs_t (207, 3, V), W_t (24, V))."""
+    nv, _, _, tv = pd_tiles.shape
+    pd = pd_tiles.transpose(2, 1, 0, 3).reshape(207, 3, nv * tv)[..., :V]
+    w = w_tiles.transpose(1, 0, 2).reshape(24, nv * tv)[:, :V]
+    return pd, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def skin_verts_t(V: int, pf: jnp.ndarray, A34: jnp.ndarray,
+                 v_shaped_t: jnp.ndarray, pd_tiles: jnp.ndarray,
+                 w_tiles: jnp.ndarray) -> jnp.ndarray:
+    """Pose-blendshape + skinning, vertex-major: returns verts_t (B, 3, V).
+
+    V: true vertex count (static).
+    pf: (B, 207) pose features (rotmats - I, body joints).
+    A34: (B, 24, 12) top-3-rows of the FK relative transforms.
+    v_shaped_t: (3, V); pd_tiles/w_tiles: pre-tiled tables (tile_tables).
+    """
+    if _use_pallas():
+        return _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V)
+    pd, w = _untile(pd_tiles, w_tiles, V)
+    return _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w)
+
+
+def _skin_fwd(V, pf, A34, v_shaped_t, pd_tiles, w_tiles):
+    out = skin_verts_t(V, pf, A34, v_shaped_t, pd_tiles, w_tiles)
+    return out, (pf, A34, v_shaped_t, pd_tiles, w_tiles)
+
+
+def _skin_bwd(V, res, g):
+    pf, A34, v_shaped_t, pd_tiles, w_tiles = res
+    if _use_pallas():
+        gpf, ga, gvsh = _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles,
+                                    V, g)
+    else:
+        pd, w = _untile(pd_tiles, w_tiles, V)
+        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w, g)
+    # frozen model constants get zero grads
+    return (gpf, ga, gvsh, jnp.zeros_like(pd_tiles),
+            jnp.zeros_like(w_tiles))
+
+
+def _bwd_xla(pf, A34, v_shaped_t, posedirs_t, W_t, g):
+    B = pf.shape[0]
+    offsets = jnp.einsum('bp,pkv->bkv', pf, posedirs_t, precision=HI)
+    vposed = offsets + v_shaped_t
+    vph = jnp.concatenate(
+        [vposed, jnp.ones((B, 1, vposed.shape[-1]), vposed.dtype)], axis=1)
+    M_t = jnp.einsum('bjl,jv->blv', A34, W_t, precision=HI)
+    M4 = M_t.reshape(B, 3, 4, M_t.shape[-1])
+
+    gM4 = jnp.einsum('biv,bkv->bikv', g, vph)
+    ga = jnp.einsum('bikv,jv->bjik', gM4, W_t, precision=HI).reshape(
+        B, 24, 12)
+    gvposed = jnp.einsum('bikv,biv->bkv', M4[:, :, :3], g, precision=HI)
+    gpf = jnp.einsum('bkv,pkv->bp', gvposed, posedirs_t, precision=HI)
+    gvsh = gvposed.sum(axis=0)
+    return gpf, ga, gvsh
+
+
+skin_verts_t.defvjp(_skin_fwd, _skin_bwd)

@@ -1,0 +1,151 @@
+"""Fused skinning op tests: XLA-path parity vs smpl_forward, Pallas
+interpret-mode parity, and custom-VJP gradients vs autodiff."""
+
+import unittest.mock as mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as sRot
+
+from nemo_tpu.body import synthetic_smpl_model, smpl_forward
+from nemo_tpu.body.smpl import (NUM_JOINTS, batch_rigid_transform, fk_rt,
+                                smpl_verts_t)
+from nemo_tpu.ops import lbs_pallas
+
+
+@pytest.fixture(scope="module")
+def model():
+    return synthetic_smpl_model(num_vertices=640, seed=0)
+
+
+def make_inputs(model, B, rng):
+    aa = 0.3 * rng.randn(B, 24, 3).astype(np.float32)
+    rot = sRot.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(
+        B, 24, 3, 3).astype(np.float32)
+    betas = jnp.asarray(0.3 * rng.randn(1, 10).astype(np.float32))
+    return jnp.asarray(rot), betas
+
+
+def raw_op_inputs(model, rot, betas):
+    """(pf, A34, vsh_t) exactly as smpl_verts_t builds them."""
+    B = rot.shape[0]
+    ident = jnp.eye(3)
+    pf = (rot[:, 1:] - ident).reshape(B, 207)
+    v_shaped = model.v_template + jnp.einsum(
+        'bl,mkl->bmk', betas, model.shapedirs)
+    J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped)
+    R_g, _, t_rel = fk_rt(rot, J, model.parents)
+    A34 = jnp.concatenate([R_g, t_rel[..., None]], -1).reshape(
+        B, NUM_JOINTS, 12)
+    return pf, A34, v_shaped[0].T
+
+
+class TestFkRt:
+    def test_matches_4x4_form(self, model, rng):
+        rot, betas = make_inputs(model, 3, rng)
+        v_shaped = model.v_template + jnp.einsum(
+            'bl,mkl->bmk', betas, model.shapedirs)
+        J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped)
+        posed_44, A = batch_rigid_transform(rot, J, model.parents)
+        R_g, posed_rt, t_rel = fk_rt(rot, J, model.parents)
+        np.testing.assert_allclose(np.asarray(posed_rt),
+                                   np.asarray(posed_44), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(R_g),
+                                   np.asarray(A[:, :, :3, :3]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(t_rel),
+                                   np.asarray(A[:, :, :3, 3]), atol=2e-5)
+
+
+class TestSkinVertsT:
+    def test_matches_smpl_forward(self, model, rng):
+        rot, betas = make_inputs(model, 3, rng)
+        verts, _ = smpl_forward(model, betas, rot[:, 1:], rot[:, :1],
+                                want_vertices=True)
+        verts_t = smpl_verts_t(model, betas, rot[:, 1:], rot[:, :1])
+        np.testing.assert_allclose(np.asarray(verts_t),
+                                   np.asarray(verts).transpose(0, 2, 1),
+                                   atol=2e-5)
+
+    def test_pallas_interpret_matches_xla(self, model, rng):
+        """Run the actual Pallas kernels in interpreter mode on CPU."""
+        rot, betas = make_inputs(model, 2, rng)
+        pf, A34, vsh_t = raw_op_inputs(model, rot, betas)
+        pd_tiles, w_tiles, V = lbs_pallas.tile_tables(
+            model.posedirs_t, model.lbs_weights_t, tv=128)
+        pd_tiles, w_tiles = jnp.asarray(pd_tiles), jnp.asarray(w_tiles)
+
+        pd, w = lbs_pallas._untile(pd_tiles, w_tiles, V)
+        want = lbs_pallas._skin_verts_t_xla(pf, A34, vsh_t, pd, w)
+
+        orig_call = lbs_pallas.pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            got = lbs_pallas._fwd_pallas(pf, A34, vsh_t, pd_tiles, w_tiles,
+                                         V, tb=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+        g = jax.random.normal(jax.random.PRNGKey(0), want.shape)
+        want_grads = lbs_pallas._bwd_xla(pf, A34, vsh_t, pd, w, g)
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            got_grads = lbs_pallas._bwd_pallas(pf, A34, vsh_t, pd_tiles,
+                                               w_tiles, V, g, tb=8)
+        for gw, gg, name in zip(want_grads, got_grads,
+                                ("gpf", "gA34", "gvsh")):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                       atol=3e-3, rtol=1e-3, err_msg=name)
+
+    def test_custom_vjp_matches_autodiff(self, model, rng):
+        """Gradients through the custom VJP must match plain autodiff of the
+        XLA reference implementation."""
+        rot, betas = make_inputs(model, 2, rng)
+        pf, A34, vsh_t = raw_op_inputs(model, rot, betas)
+        V = model.num_vertices
+        pd, w = lbs_pallas._untile(model.pd_tiles, model.w_tiles, V)
+
+        def loss_custom(pf, A34, vsh_t):
+            out = lbs_pallas.skin_verts_t(V, pf, A34, vsh_t, model.pd_tiles,
+                                          model.w_tiles)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_ref(pf, A34, vsh_t):
+            out = lbs_pallas._skin_verts_t_xla(pf, A34, vsh_t, pd, w)
+            return jnp.sum(jnp.sin(out))
+
+        g_c = jax.grad(loss_custom, argnums=(0, 1, 2))(pf, A34, vsh_t)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(pf, A34, vsh_t)
+        for a, b, name in zip(g_c, g_r, ("pf", "A34", "vsh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+
+    def test_fit_loss_with_vposer_still_finite(self, model, rng):
+        """End-to-end: the vposer path now routes through smpl_verts_t."""
+        from nemo_tpu.data import synthetic_problem
+        from nemo_tpu.fit import NemoConfig, build_assets, fit_loss, init_params
+        from nemo_tpu.priors import init_vposer, synthetic_gmm_prior
+
+        bundle, _ = synthetic_problem(model, num_views=2, num_frames=6)
+        cfg = NemoConfig(model_version=2, h_dim=16, instance_code_size=2,
+                         phase_rbf_dim=8, monotonic_network_n_nodes=4,
+                         batch_size=8, weight_vp_loss=10.0,
+                         weight_vp_z_loss=1.0, weight_gmm_loss=1.0,
+                         label_type="gt")
+        assets = build_assets(bundle, model, cfg,
+                              gmm=synthetic_gmm_prior(2),
+                              vposer=init_vposer(jax.random.PRNGKey(0)))
+        params = init_params(jax.random.PRNGKey(1), cfg, 2, assets.img_d0)
+        vi = jnp.zeros(8, jnp.int32)
+        fi = jnp.arange(8, dtype=jnp.int32) % 6
+        (loss, metrics), grads = jax.value_and_grad(
+            fit_loss, has_aux=True)(params, cfg, assets, vi, fi,
+                                    training=False)
+        assert np.isfinite(float(loss))
+        assert float(metrics["vp_recon_loss"]) > 0
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
