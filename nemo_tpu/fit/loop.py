@@ -103,7 +103,7 @@ class NemoFitter:
 
             def body(carry, _):
                 params, opt_state, plateau, key = carry
-                key, k1, k2 = jax.random.split(key, 3)
+                key, k1 = jax.random.split(key)
                 vi, fi = _sample_batch(k1, B, V, F)
                 (loss, metrics), grads = jax.value_and_grad(
                     warmup_loss, has_aux=True)(params, cfg, assets, vi, fi)

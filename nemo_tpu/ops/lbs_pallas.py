@@ -26,7 +26,6 @@ Behavioral reference for the math: human_body_prior/body_model/lbs.py:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
