@@ -171,34 +171,19 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
 
     rel_joints = joints.at[:, 1:].add(-joints[:, np.asarray(parents)[1:]])
 
-    T_local = jnp.zeros((B, J, 4, 4), dtype=rot_mats.dtype)
-    T_local = T_local.at[:, :, :3, :3].set(rot_mats)
-    T_local = T_local.at[:, :, :3, 3].set(rel_joints)
-    T_local = T_local.at[:, :, 3, 3].set(1.0)
+    # Composition through the fused FK op (one Pallas program on TPU; the
+    # XLA fallback is a plain per-joint chain — gather-only, which also
+    # sidesteps an XLA verifier bug that scatter-style composition hits
+    # under vmap-of-scan).
+    from ..ops.fk_pallas import fk_compose
+    R_g, t_g = fk_compose(rot_mats, rel_joints,
+                          tuple(int(p) for p in np.asarray(parents)))
+    T_global = jnp.zeros((B, J, 4, 4), dtype=rot_mats.dtype)
+    T_global = T_global.at[:, :, :3, :3].set(R_g)
+    T_global = T_global.at[:, :, :3, 3].set(t_g)
+    T_global = T_global.at[:, :, 3, 3].set(1.0)
 
-    # Level-parallel composition: global[i] = global[parent[i]] @ local[i].
-    # Gather-only assembly (concat in topological order, inverse-permute at
-    # the end): scatter updates here trip an XLA simplifier bug under
-    # vmap-of-scan, and gathers fuse better anyway.
-    order = [0]
-    T_sofar = T_local[:, :1]
-    for idx, par in _kinematic_levels(parents):
-        parent_pos = np.asarray([order.index(int(p)) for p in par])
-        A = T_sofar[:, parent_pos]
-        Bm = T_local[:, idx]
-        # 4x4 products with the (batch, joint) axes flattened: dot_general
-        # with >=3 stacked batch dims hits an XLA verifier bug under
-        # vmap-of-scan; a single flattened batch dim is the standard batched
-        # matmul path.
-        n = A.shape[1]
-        composed = jnp.matmul(A.reshape(-1, 4, 4), Bm.reshape(-1, 4, 4),
-                              precision=HI).reshape(A.shape[0], n, 4, 4)
-        T_sofar = jnp.concatenate([T_sofar, composed], axis=1)
-        order.extend(int(i) for i in idx)
-    inv_perm = np.argsort(np.asarray(order))
-    T_global = T_sofar[:, inv_perm]
-
-    posed_joints = T_global[:, :, :3, 3]
+    posed_joints = t_g
 
     # rel_transforms = T_global with translation reduced by R @ rest_joint
     # (equivalent to lbs.py:399-402's pad/subtract formulation).
@@ -210,14 +195,15 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
 
 def fk_rt(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: np.ndarray
           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """FK as (R, t) pairs — no 4x4 padding/assembly.
+    """FK as (R, t) pairs via the fused tree-walk op (ops/fk_pallas.py).
 
-    Same level-parallel gather-only composition as batch_rigid_transform but
-    ~2x cheaper fwd+bwd (the 4x4 form spends half its work on constant rows).
-    Returns (R_global (B, J, 3, 3), posed_joints (B, J, 3),
-    t_rel (B, J, 3)) where the skinning transform is [R_global | t_rel]
-    with t_rel = posed_joint - R_global @ rest_joint.
+    On TPU the whole 24-joint chain runs in ONE Pallas program (+ one for
+    the backward) instead of ~50 small XLA kernels. Returns
+    (R_global (B, J, 3, 3), posed_joints (B, J, 3), t_rel (B, J, 3)) where
+    the skinning transform is [R_global | t_rel],
+    t_rel = posed_joint - R_global @ rest_joint.
     """
+    from ..ops.fk_pallas import fk_compose
     if joints.ndim == 2:
         joints = joints[None]
     B, J = rot_mats.shape[0], rot_mats.shape[1]
@@ -225,25 +211,8 @@ def fk_rt(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: np.ndarray
     parents = np.asarray(parents)
     rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
 
-    order = [0]
-    R_sofar = rot_mats[:, :1]
-    t_sofar = joints[:, :1]
-    for idx, par in _kinematic_levels(parents):
-        parent_pos = np.asarray([order.index(int(p)) for p in par])
-        Rp = R_sofar[:, parent_pos]
-        tp = t_sofar[:, parent_pos]
-        n = len(idx)
-        Rl = rot_mats[:, idx]
-        tl = rel_joints[:, idx]
-        R_new = jnp.matmul(Rp.reshape(-1, 3, 3), Rl.reshape(-1, 3, 3),
-                           precision=HI).reshape(B, n, 3, 3)
-        t_new = jnp.einsum('bnij,bnj->bni', Rp, tl, precision=HI) + tp
-        R_sofar = jnp.concatenate([R_sofar, R_new], axis=1)
-        t_sofar = jnp.concatenate([t_sofar, t_new], axis=1)
-        order.extend(int(i) for i in idx)
-    inv_perm = np.argsort(np.asarray(order))
-    R_g = R_sofar[:, inv_perm]
-    posed = t_sofar[:, inv_perm]
+    R_g, posed = fk_compose(rot_mats, rel_joints,
+                            tuple(int(p) for p in parents))
     t_rel = posed - jnp.einsum('bnij,bnj->bni', R_g, joints, precision=HI)
     return R_g, posed, t_rel
 
