@@ -312,16 +312,20 @@ def smpl_forward(model: SMPLModel,
 
 
 def smpl_verts_t(model: SMPLModel, betas: jnp.ndarray,
-                 body_rot: jnp.ndarray, orient_rot: jnp.ndarray
-                 ) -> jnp.ndarray:
+                 body_rot: jnp.ndarray, orient_rot: jnp.ndarray,
+                 padded: bool = False) -> jnp.ndarray:
     """Vertex-major SMPL vertices (B, 3, V) through the fused skinning op.
 
     Same math as smpl_forward(want_vertices=True) minus the joint outputs;
     FK runs in (R, t)-pair form and skinning through
     ops/lbs_pallas.skin_verts_t (Pallas on TPU, XLA elsewhere). Requires
     shared betas (shape (1, 10)).
+
+    padded=True returns (B, 3, Vp) with zero lanes beyond num_vertices
+    (tile-aligned, no slice copy) — for reduction-only consumers; normalize
+    by model.num_vertices.
     """
-    from ..ops.lbs_pallas import skin_verts_t
+    from ..ops.lbs_pallas import skin_verts_t, skin_verts_t_padded
 
     B = body_rot.shape[0]
     rot_mats = jnp.concatenate(
@@ -339,5 +343,6 @@ def smpl_verts_t(model: SMPLModel, betas: jnp.ndarray,
     A34 = jnp.concatenate([R_g, t_rel[..., None]], axis=-1).reshape(
         B, NUM_JOINTS, 12)
 
-    return skin_verts_t(model.num_vertices, pf, A34, v_shaped[0].T,
-                        model.pd_tiles, model.w_tiles)
+    op = skin_verts_t_padded if padded else skin_verts_t
+    return op(model.num_vertices, pf, A34, v_shaped[0].T,
+              model.pd_tiles, model.w_tiles)

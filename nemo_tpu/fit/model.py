@@ -291,7 +291,11 @@ def _smpl_verts_from_aa(params: Params, assets: NemoAssets,
     B = poses_aa.shape[0]
     rot = batch_rodrigues(poses_aa.reshape(B, 23, 3))
     orient_rot = rot6d_to_rotmat(orient6d)[:, None]
-    return smpl_verts_t(assets.smpl, params["betas"], rot, orient_rot)
+    # padded=True: tile-aligned (B, 3, Vp) with zero pad lanes — the v2v
+    # difference cancels there, and the slice/pad copies (~170 MB/step over
+    # the two forwards' VJPs) disappear.
+    return smpl_verts_t(assets.smpl, params["betas"], rot, orient_rot,
+                        padded=True)
 
 
 def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
@@ -314,7 +318,9 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     # Pallas skinning).
     verts_orig = _smpl_verts_from_aa(params, assets, poses, orient6d)
     verts_rec = _smpl_verts_from_aa(params, assets, recon, orient6d)
-    v2v = jnp.abs(jax.lax.stop_gradient(verts_rec) - verts_orig).mean()
+    # outputs are lane-padded: mean over the TRUE element count
+    n_real = verts_orig.shape[0] * 3 * assets.smpl.num_vertices
+    v2v = jnp.abs(jax.lax.stop_gradient(verts_rec) - verts_orig).sum() / n_real
     kl = vposer_kl_to_std_normal(mu, scale)
     return v2v, kl
 

@@ -93,7 +93,7 @@ def _fwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, out_ref,
 
 
 def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
-                tb: int = 128) -> jnp.ndarray:
+                tb: int = 128, keep_pad: bool = False) -> jnp.ndarray:
     """pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv) pre-tiled host-side
     (tile_tables); only the per-call tensors are padded here."""
     B = pf.shape[0]
@@ -130,7 +130,9 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.float32),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles)
-    return out[:B, :, :V]
+    # Lane pads are exactly zero (w_tiles pad columns zero every m_plane,
+    # including the translation), so padded consumers are safe.
+    return out[:B] if keep_pad else out[:B, :, :V]
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +197,8 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
     A_p = jnp.pad(A34.transpose(2, 0, 1), ((0, 0), (0, pad_b), (0, 0)))
     vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
     vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)
-    g_p = jnp.pad(g, ((0, pad_b), (0, 0), (0, Vp - V)))
+    # g may arrive already lane-padded (skin_verts_t_padded cotangent)
+    g_p = jnp.pad(g, ((0, pad_b), (0, 0), (0, Vp - g.shape[-1])))
 
     kernel = functools.partial(_bwd_kernel, tb=tb, tv=tv)
     gpf, ga, gvsh_tiles = pl.pallas_call(
@@ -331,3 +334,45 @@ def _bwd_xla(pf, A34, v_shaped_t, posedirs_t, W_t, g):
 
 
 skin_verts_t.defvjp(_skin_fwd, _skin_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def skin_verts_t_padded(V: int, pf: jnp.ndarray, A34: jnp.ndarray,
+                        v_shaped_t: jnp.ndarray, pd_tiles: jnp.ndarray,
+                        w_tiles: jnp.ndarray) -> jnp.ndarray:
+    """skin_verts_t without the final lane slice: returns (B, 3, Vp) where
+    Vp = nv*tv >= V and lanes [V:] are exactly zero.
+
+    For difference/reduction consumers (the VPoser v2v L1) the pad lanes
+    cancel, and skipping the (B, 3, V) slice saves ~42 MB of copy per call
+    forward plus the matching pad of the cotangent backward — 4 sliced
+    tensors per optimization step with the v2v prior active. Normalize sums
+    by the true V, not out.shape[-1].
+    """
+    nv, _, _, tv = pd_tiles.shape
+    if _use_pallas():
+        return _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
+                           keep_pad=True)
+    pd, w = _untile(pd_tiles, w_tiles, V)
+    out = _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, nv * tv - V)))
+
+
+def _skin_fwd_padded(V, pf, A34, v_shaped_t, pd_tiles, w_tiles):
+    out = skin_verts_t_padded(V, pf, A34, v_shaped_t, pd_tiles, w_tiles)
+    return out, (pf, A34, v_shaped_t, pd_tiles, w_tiles)
+
+
+def _skin_bwd_padded(V, res, g):
+    pf, A34, v_shaped_t, pd_tiles, w_tiles = res
+    if _use_pallas():
+        gpf, ga, gvsh = _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles,
+                                    V, g)
+    else:
+        pd, w = _untile(pd_tiles, w_tiles, V)
+        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w, g[..., :V])
+    return (gpf, ga, gvsh, jnp.zeros_like(pd_tiles),
+            jnp.zeros_like(w_tiles))
+
+
+skin_verts_t_padded.defvjp(_skin_fwd_padded, _skin_bwd_padded)

@@ -124,6 +124,39 @@ class TestSkinVertsT:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3, err_msg=name)
 
+    def test_padded_variant_matches_sliced(self, model, rng):
+        """skin_verts_t_padded == skin_verts_t on real lanes, zero pads,
+        identical gradients for a reduction loss."""
+        rot, betas = make_inputs(model, 2, rng)
+        pf, A34, vsh_t = raw_op_inputs(model, rot, betas)
+        V = model.num_vertices
+        Vp = model.pd_tiles.shape[0] * model.pd_tiles.shape[-1]
+
+        out = lbs_pallas.skin_verts_t(V, pf, A34, vsh_t, model.pd_tiles,
+                                      model.w_tiles)
+        out_p = lbs_pallas.skin_verts_t_padded(V, pf, A34, vsh_t,
+                                               model.pd_tiles, model.w_tiles)
+        assert out_p.shape == (2, 3, Vp)
+        np.testing.assert_allclose(np.asarray(out_p[..., :V]),
+                                   np.asarray(out), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_p[..., V:]), 0.0)
+
+        def loss_sliced(pf, A34, vsh_t):
+            o = lbs_pallas.skin_verts_t(V, pf, A34, vsh_t, model.pd_tiles,
+                                        model.w_tiles)
+            return jnp.abs(o).sum()
+
+        def loss_padded(pf, A34, vsh_t):
+            o = lbs_pallas.skin_verts_t_padded(V, pf, A34, vsh_t,
+                                               model.pd_tiles, model.w_tiles)
+            return jnp.abs(o).sum()
+
+        g_s = jax.grad(loss_sliced, argnums=(0, 1, 2))(pf, A34, vsh_t)
+        g_p = jax.grad(loss_padded, argnums=(0, 1, 2))(pf, A34, vsh_t)
+        for a, b, name in zip(g_p, g_s, ("pf", "A34", "vsh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)
+
     def test_fit_loss_with_vposer_still_finite(self, model, rng):
         """End-to-end: the vposer path now routes through smpl_verts_t."""
         from nemo_tpu.data import synthetic_problem

@@ -87,3 +87,17 @@ def test_fit_many_seeds_vmap(rng):
     # different seeds -> different parameters
     cams = np.asarray(out["params"]["cameras"])
     assert not np.allclose(cams[0], cams[1])
+
+
+def test_distributed_single_host_semantics(monkeypatch):
+    """Multi-host hooks degrade to no-ops on one host (parallel/distributed)."""
+    from nemo_tpu.parallel import distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.initialize() is False
+    assert distributed.is_primary()
+    assert distributed.process_count() == 1
+    assert distributed.local_batch_slice(512) == slice(0, 512)
+    distributed.barrier()  # no-op, must not hang
