@@ -103,17 +103,142 @@ def upsample_faces(verts: jnp.ndarray, colors: jnp.ndarray,
             jnp.concatenate([colors, cols], axis=0))
 
 
+def rasterize_triangles(verts_cam: jnp.ndarray, faces: np.ndarray,
+                        focal_length: float, center: Tuple[float, float],
+                        img_hw: Tuple[int, int], patch: int = 32,
+                        near: float = 1e-3
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Z-buffered barycentric triangle rasterizer (XLA-clean, no GL).
+
+    Replaces the reference's pyrender/OSMesa surface rendering
+    (hmr/renderer.py:88-181) with a `lax.scan` over faces: each step
+    rasterizes one triangle into a static `patch x patch` window around its
+    bbox via dynamic_slice / dynamic_update_slice, so shapes stay static and
+    the whole render jits. Perspective projection matches splat_render.
+
+    Returns:
+      zbuf:  (H, W) float32, inf where empty.
+      fidx:  (H, W) int32 winning face index, -1 where empty.
+      bary:  (H, W, 3) float32 perspective-correct barycentric weights of
+             the winning face (attribute interpolation weights).
+
+    Triangles whose screen bbox exceeds `patch` pixels are clipped to their
+    window (raise `patch` for close-up renders); triangles with any vertex
+    closer than `near` are skipped.
+
+    Cost: one scan step per face (~0.6 s/frame for the 13.8k-face SMPL at
+    480x640 on one v5e chip; scan unroll measured slower). Offline use only
+    — the fit path never renders.
+    """
+    H, W = img_hw
+    faces = np.asarray(faces)
+    z = verts_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > near, z, near)
+    u = focal_length * verts_cam[:, 0] / safe_z + center[0]
+    v = focal_length * verts_cam[:, 1] / safe_z + center[1]
+    pix = jnp.stack([u, v], axis=-1)                        # (V, 2)
+    tri = pix[faces]                                        # (F, 3, 2)
+    tz = z[faces]                                           # (F, 3)
+
+    xs = jnp.arange(patch, dtype=jnp.float32)
+    ys = jnp.arange(patch, dtype=jnp.float32)
+
+    zbuf0 = jnp.full((H, W), jnp.inf, jnp.float32)
+    fidx0 = jnp.full((H, W), -1, jnp.int32)
+    bary0 = jnp.zeros((H, W, 3), jnp.float32)
+
+    def step(carry, inp):
+        zbuf, fidx, bary = carry
+        p, zf, fi = inp                                     # (3,2) (3,) ()
+        ox = jnp.clip(jnp.floor(jnp.min(p[:, 0])).astype(jnp.int32),
+                      0, W - patch)
+        oy = jnp.clip(jnp.floor(jnp.min(p[:, 1])).astype(jnp.int32),
+                      0, H - patch)
+        X = ox.astype(jnp.float32) + xs[None, :]            # (1, patch)
+        Y = oy.astype(jnp.float32) + ys[:, None]            # (patch, 1)
+
+        x0, y0 = p[0, 0], p[0, 1]
+        x1, y1 = p[1, 0], p[1, 1]
+        x2, y2 = p[2, 0], p[2, 1]
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        w0 = (x2 - x1) * (Y - y1) - (y2 - y1) * (X - x1)    # (patch, patch)
+        w1 = (x0 - x2) * (Y - y2) - (y0 - y2) * (X - x2)
+        w2 = (x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0)
+        s = jnp.sign(area)
+        cover = ((w0 * s >= 0) & (w1 * s >= 0) & (w2 * s >= 0)
+                 & (jnp.abs(area) > 1e-8))
+        inv_area = s / jnp.maximum(jnp.abs(area), 1e-8)
+        b0, b1, b2 = w0 * inv_area, w1 * inv_area, w2 * inv_area
+
+        # perspective-correct: interpolate 1/z linearly in screen space
+        iz = b0 / zf[0] + b1 / zf[1] + b2 / zf[2]
+        zpix = 1.0 / jnp.maximum(iz, 1e-8)
+        pb = jnp.stack([b0 / zf[0], b1 / zf[1], b2 / zf[2]], -1) * zpix[
+            ..., None]                                      # (patch, patch, 3)
+
+        zpatch = jax.lax.dynamic_slice(zbuf, (oy, ox), (patch, patch))
+        fpatch = jax.lax.dynamic_slice(fidx, (oy, ox), (patch, patch))
+        bpatch = jax.lax.dynamic_slice(bary, (oy, ox, 0), (patch, patch, 3))
+
+        win = cover & jnp.all(zf > near) & (zpix < zpatch)
+        zbuf = jax.lax.dynamic_update_slice(
+            zbuf, jnp.where(win, zpix, zpatch), (oy, ox))
+        fidx = jax.lax.dynamic_update_slice(
+            fidx, jnp.where(win, fi, fpatch), (oy, ox))
+        bary = jax.lax.dynamic_update_slice(
+            bary, jnp.where(win[..., None], pb, bpatch), (oy, ox, 0))
+        return (zbuf, fidx, bary), None
+
+    (zbuf, fidx, bary), _ = jax.lax.scan(
+        step, (zbuf0, fidx0, bary0),
+        (tri, tz, jnp.arange(len(faces), dtype=jnp.int32)))
+    return zbuf, fidx, bary
+
+
+def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
+                  faces: np.ndarray, focal_length: float,
+                  center: Tuple[float, float], img_hw: Tuple[int, int],
+                  patch: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Surface-rasterized render: (H, W, 3) image + coverage mask.
+
+    Same signature contract as splat_render but draws filled triangles with
+    per-pixel barycentric Gouraud shading and correct occlusion.
+    """
+    zbuf, fidx, bary = rasterize_triangles(verts_cam, faces, focal_length,
+                                           center, img_hw, patch=patch)
+    fid = jnp.maximum(fidx, 0)
+    tri_c = colors[np.asarray(faces)]                       # (F, 3, 3)
+    pix_c = jnp.einsum('hwk,hwkc->hwc', bary, tri_c[fid])
+    mask = (fidx >= 0).astype(jnp.float32)
+    return pix_c * mask[..., None], mask
+
+
+def combine_meshes(verts_list, faces_list):
+    """Concatenate meshes for joint (correctly occluding) rendering.
+
+    The multi-person path of the reference's renderers: render all people
+    into one z-buffer. Returns (verts (sum V_i, 3), faces (sum F_i, 3))."""
+    verts_list = list(verts_list)
+    faces_list = [np.asarray(f) for f in faces_list]
+    off = np.cumsum([0] + [v.shape[0] for v in verts_list])[:-1]
+    faces = np.concatenate([f + o for f, o in zip(faces_list, off)], 0)
+    return jnp.concatenate(verts_list, axis=0), faces
+
+
 def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
                         camera: Camera, image: Optional[np.ndarray],
                         img_hw: Tuple[int, int],
                         base_color=(0.65, 0.74, 0.86),
                         light_dir=(0.0, -0.4, -1.0),
                         alpha: float = 0.9,
-                        samples_per_face: int = 8) -> np.ndarray:
+                        samples_per_face: int = 8,
+                        method: str = "splat") -> np.ndarray:
     """Render one SMPL mesh over a frame (Renderer.__call__ semantics).
 
     verts_world: (V, 3); camera: a Camera with batch dims stripped;
     image: (H, W, 3) float [0,1] or None for a white background.
+    method: "splat" (fast point splatting) or "raster" (triangle
+    rasterizer — pyrender-quality surfaces, ~F scan steps per frame).
     """
     H, W = img_hw
     R, t = camera.rotation, camera.translation
@@ -125,13 +250,18 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     diffuse = jnp.clip(-(n @ l), 0.2, 1.0)[:, None]
     colors = diffuse * jnp.asarray(base_color)
 
-    if samples_per_face > 0 and len(faces):
-        verts_cam, colors = upsample_faces(verts_cam, colors, faces,
-                                           samples_per_face)
-
     cx, cy = float(camera.center[0]), float(camera.center[1])
-    img, mask = splat_render(verts_cam, colors, float(camera.focal_length),
-                             (cx, cy), (H, W))
+    if method == "raster" and len(faces):
+        img, mask = raster_render(verts_cam, colors, faces,
+                                  float(camera.focal_length), (cx, cy),
+                                  (H, W))
+    else:
+        if samples_per_face > 0 and len(faces):
+            verts_cam, colors = upsample_faces(verts_cam, colors, faces,
+                                               samples_per_face)
+        img, mask = splat_render(verts_cam, colors,
+                                 float(camera.focal_length), (cx, cy),
+                                 (H, W))
     if image is None:
         image = np.ones((H, W, 3), np.float32)
     out = (np.asarray(img) * np.asarray(mask)[..., None] * alpha

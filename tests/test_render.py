@@ -95,3 +95,114 @@ class TestFaceUpsampling:
         dense = render_mesh_overlay(verts, faces, cam, None, (128, 128),
                                     samples_per_face=12)
         assert (dense < 0.99).sum() >= (sparse < 0.99).sum()
+
+
+class TestTriangleRasterizer:
+    def _brute_force(self, verts_cam, faces, f, c, hw):
+        """Per-pixel numpy oracle: barycentric point-in-triangle + z-test."""
+        H, W = hw
+        v = np.asarray(verts_cam, np.float64)
+        u = f * v[:, 0] / v[:, 2] + c[0]
+        w = f * v[:, 1] / v[:, 2] + c[1]
+        pix = np.stack([u, w], -1)
+        zbuf = np.full((H, W), np.inf)
+        fidx = np.full((H, W), -1, np.int64)
+        for fi, face in enumerate(np.asarray(faces)):
+            p0, p1, p2 = pix[face]
+            z0, z1, z2 = v[face, 2]
+            if min(z0, z1, z2) <= 1e-3:
+                continue
+            area = ((p1[0] - p0[0]) * (p2[1] - p0[1])
+                    - (p1[1] - p0[1]) * (p2[0] - p0[0]))
+            if abs(area) < 1e-8:
+                continue
+            for y in range(H):
+                for x in range(W):
+                    w0 = ((p2[0] - p1[0]) * (y - p1[1])
+                          - (p2[1] - p1[1]) * (x - p1[0]))
+                    w1 = ((p0[0] - p2[0]) * (y - p2[1])
+                          - (p0[1] - p2[1]) * (x - p2[0]))
+                    w2 = ((p1[0] - p0[0]) * (y - p0[1])
+                          - (p1[1] - p0[1]) * (x - p0[0]))
+                    s = np.sign(area)
+                    if w0 * s < 0 or w1 * s < 0 or w2 * s < 0:
+                        continue
+                    b0, b1, b2 = w0 / area, w1 / area, w2 / area
+                    z = 1.0 / (b0 / z0 + b1 / z1 + b2 / z2)
+                    if z < zbuf[y, x]:
+                        zbuf[y, x] = z
+                        fidx[y, x] = fi
+        return zbuf, fidx
+
+    def test_matches_brute_force(self, rng):
+        from nemo_tpu.render import rasterize_triangles
+        verts = jnp.asarray([[-0.5, -0.5, 4.0], [0.7, -0.2, 4.0],
+                             [0.0, 0.8, 4.0],
+                             [-0.3, -0.4, 3.0], [0.5, -0.5, 5.0],
+                             [0.1, 0.5, 4.0]], dtype=jnp.float32)
+        faces = np.array([[0, 1, 2], [3, 4, 5]])
+        f, c, hw = 60.0, (24.0, 16.0), (32, 48)
+        zbuf, fidx, bary = rasterize_triangles(verts, faces, f, c, hw,
+                                               patch=32)
+        wz, wf = self._brute_force(verts, faces, f, c, hw)
+        # f32 vs f64 edge decisions can flip pixels ON triangle borders;
+        # compare interiors (pixels where a 1-px neighborhood agrees).
+        wf_j = np.asarray(fidx)
+        disagree = (wf_j != wf)
+        assert disagree.mean() < 0.02, f"{disagree.sum()} pixels differ"
+        interior = (wf_j == wf) & (wf >= 0)
+        assert interior.sum() > 100  # both triangles visibly drawn
+        np.testing.assert_allclose(np.asarray(zbuf)[interior], wz[interior],
+                                   rtol=1e-4)
+        # barycentric weights sum to 1 on covered pixels
+        bs = np.asarray(bary).sum(-1)
+        np.testing.assert_allclose(bs[wf_j >= 0], 1.0, atol=1e-4)
+
+    def test_occlusion_order(self):
+        """A nearer triangle must win the z-buffer over a farther one."""
+        from nemo_tpu.render import rasterize_triangles
+        # far triangle 4x larger in world space so it still peeks out from
+        # behind the near one under perspective
+        tri_far = [[-4.0, -4.0, 6.0], [4.0, -4.0, 6.0], [0.0, 4.0, 6.0]]
+        tri_near = [[-1.0, -1.0, 3.0], [1.0, -1.0, 3.0], [0.0, 1.0, 3.0]]
+        verts = jnp.asarray(tri_far + tri_near, dtype=jnp.float32)
+        faces = np.array([[0, 1, 2], [3, 4, 5]])
+        _, fidx, _ = rasterize_triangles(verts, faces, 20.0, (16.0, 16.0),
+                                         (32, 32), patch=32)
+        covered = np.asarray(fidx)
+        assert (covered == 0).sum() > 0     # far triangle peeks out (bigger)
+        assert (covered == 1).sum() > 50    # near triangle owns the overlap
+        # the overlap center belongs to the near face
+        assert covered[16, 16] == 1
+
+    def test_combine_meshes_occludes_between_people(self):
+        from nemo_tpu.render import combine_meshes, rasterize_triangles
+        tri_a = jnp.asarray([[-1.0, -1.0, 5.0], [1.0, -1.0, 5.0],
+                             [0.0, 1.0, 5.0]], dtype=jnp.float32)
+        tri_b = jnp.asarray([[-1.0, -1.0, 2.5], [1.0, -1.0, 2.5],
+                             [0.0, 1.0, 2.5]], dtype=jnp.float32)
+        faces1 = np.array([[0, 1, 2]])
+        verts, faces = combine_meshes([tri_a, tri_b], [faces1, faces1])
+        assert verts.shape == (6, 3) and faces.shape == (2, 3)
+        assert faces[1].tolist() == [3, 4, 5]
+        _, fidx, _ = rasterize_triangles(verts, faces, 12.0, (16.0, 16.0),
+                                         (32, 32), patch=32)
+        assert np.asarray(fidx)[16, 16] == 1  # person B in front
+
+    def test_overlay_method_raster(self):
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.geometry import Camera
+        from nemo_tpu.render import render_mesh_overlay
+        model = synthetic_smpl_model(num_vertices=300, seed=0)
+        verts = jnp.asarray(np.asarray(model.v_template))
+        faces = np.stack([np.arange(0, 60), np.arange(1, 61),
+                          np.arange(2, 62)], 1)
+        cam = Camera(rotation=jnp.eye(3),
+                     translation=jnp.array([0.0, 0.0, 6.0]),
+                     focal_length=jnp.asarray(400.0),
+                     center=jnp.array([64.0, 64.0]))
+        out = render_mesh_overlay(verts, faces, cam, None, (128, 128),
+                                  method="raster")
+        assert out.shape == (128, 128, 3)
+        assert np.isfinite(out).all()
+        assert (out < 0.99).any()          # something was drawn
