@@ -243,9 +243,12 @@ def main(argv=None) -> int:
             write_csv(stats_g, osp.join(out_dir, "eval_3d_global.csv"))
 
     if args.render_video:
-        from ..render import render_keypoint_rollout, render_overlay_video
+        from ..render import (render_eval_grid, render_keypoint_rollout,
+                              render_overlay_video)
         render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
                                 pts2d, bundle)
+        render_eval_grid(osp.join(out_dir, "eval_2d_grid.png"), pts2d,
+                         bundle, cfg.label_type)
         out_vid = render_overlay_video(osp.join(out_dir, "overlay.mp4"),
                                        pts2d, bundle, cfg.label_type)
         print(f"[fit] overlay video: {out_vid}")

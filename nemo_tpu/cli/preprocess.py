@@ -57,9 +57,17 @@ def main(argv=None) -> int:
     exp_dir = cfg["exp_dir"]
     names = cfg["videos"]["names"]
 
-    op_per_view, gt_per_view, theta_per_view = [], [], []
+    op_per_view, gt_per_view, theta_per_view, frames_per_view = [], [], [], []
     for name in names:
         base = osp.join(exp_dir, name)
+        # optional extracted frames (video_to_frames output) for eval overlays
+        fdir = base + ".frames"
+        if osp.isdir(fdir):
+            frames_per_view.append(sorted(
+                osp.join(fdir, f) for f in os.listdir(fdir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))))
+        else:
+            frames_per_view.append(None)
         op_dir = None
         for cand in (base + ".frames.op", base + ".op",
                      base + "_openpose"):
@@ -126,6 +134,11 @@ def main(argv=None) -> int:
     if args.gt_cam_paths:
         cams = [np.load(p) for p in args.gt_cam_paths.split(",")]
         kwargs["gt_cameras"] = np.stack(cams).astype(np.float32)
+    if all(f is not None and len(f) for f in frames_per_view):
+        from ..data.bundle import resample_indices
+        kwargs["frame_paths"] = np.stack([
+            np.asarray(f)[resample_indices(len(f), F, args.start_phase)]
+            for f in frames_per_view])
 
     fm = np.asarray([F / max(l, 1) for l in lens], np.float32)
     bundle = MultiViewBundle(

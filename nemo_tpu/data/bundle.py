@@ -40,6 +40,7 @@ class MultiViewBundle:
     gt_cameras: Optional[np.ndarray] = None    # (V, 9)
     gt_betas: Optional[np.ndarray] = None      # (1, 10)
     framerate_multiplier: Optional[np.ndarray] = None  # (V,)
+    frame_paths: Optional[np.ndarray] = None   # (V, F) unicode image paths
     name: str = "bundle"
 
     @property
@@ -100,7 +101,7 @@ class MultiViewBundle:
         for k, v in self.labels.items():
             payload[f"labels_{k}"] = v
         for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
-                  "framerate_multiplier"):
+                  "framerate_multiplier", "frame_paths"):
             v = getattr(self, k)
             if v is not None:
                 payload[k] = v
@@ -114,7 +115,7 @@ class MultiViewBundle:
                   if k.startswith("labels_")}
         kwargs = {}
         for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
-                  "framerate_multiplier"):
+                  "framerate_multiplier", "frame_paths"):
             if k in data.files:
                 kwargs[k] = data[k]
         return cls(labels=labels, hmr_theta=data["hmr_theta"],
@@ -138,9 +139,16 @@ def resample_to_common_frames(per_view_arrays, num_frames: int,
       (V, num_frames, ...) stacked array.
     """
     out = []
-    phases = np.linspace(start_phase, 1.0, num_frames)
     for arr in per_view_arrays:
-        n = arr.shape[0]
-        tidx = np.minimum((phases * n).astype(np.int64), n - 1)
+        tidx = resample_indices(arr.shape[0], num_frames, start_phase)
         out.append(arr[tidx])
     return np.stack(out)
+
+
+def resample_indices(n_view_frames: int, num_frames: int,
+                     start_phase: float = 0.0) -> np.ndarray:
+    """The source indices resample_to_common_frames gathers — exposed so
+    non-array per-frame data (image paths) resamples identically."""
+    phases = np.linspace(start_phase, 1.0, num_frames)
+    return np.minimum((phases * n_view_frames).astype(np.int64),
+                      n_view_frames - 1)

@@ -1,13 +1,15 @@
 """Host-side and device-side rendering/visualization."""
 
-from .keypoints import (OP25_EDGES, draw_skeleton, render_keypoint_rollout,
-                        render_loss_curves, render_phase_plot)
+from .keypoints import (OP25_EDGES, draw_skeleton, render_eval_grid,
+                        render_keypoint_rollout, render_loss_curves,
+                        render_phase_plot)
 from .mesh import (combine_meshes, raster_render, rasterize_triangles,
                    render_mesh_overlay, splat_render, upsample_faces,
                    vertex_normals)
 from .video import render_overlay_video
 
-__all__ = ["OP25_EDGES", "draw_skeleton", "render_keypoint_rollout",
+__all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
+           "render_keypoint_rollout",
            "render_loss_curves", "render_phase_plot",
            "combine_meshes", "raster_render", "rasterize_triangles",
            "render_mesh_overlay", "splat_render", "upsample_faces",

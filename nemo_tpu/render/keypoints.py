@@ -65,6 +65,51 @@ def render_keypoint_rollout(path: str, pts2d_pred: np.ndarray, bundle,
     plt.close(fig)
 
 
+def render_eval_grid(path: str, pts2d_pred: np.ndarray, bundle,
+                     label_type: str = "gt", num_frames: int = 6,
+                     max_views: int = 4) -> None:
+    """views x frames grid of pred-vs-label skeletons over the video frames.
+
+    The reference's eval-time image overlays (figures drawn onto the actual
+    frames). Frames come from bundle.frame_paths when the preprocessor found
+    an extracted-frames dir; otherwise skeletons draw on a blank canvas at
+    the bundle's image size, so the figure always renders.
+    """
+    plt = _plt()
+    V = min(bundle.num_views, max_views)
+    Fidx = np.linspace(0, bundle.num_frames - 1, num_frames).astype(int)
+    try:
+        label = bundle.label(label_type)
+    except KeyError:
+        label = next(iter(bundle.labels.values()))
+    H, W = int(bundle.img_hw[0]), int(bundle.img_hw[1])
+
+    fig, axs = plt.subplots(V, num_frames,
+                            figsize=(2.2 * num_frames, 2.2 * V),
+                            squeeze=False)
+    for v in range(V):
+        for col, f in enumerate(Fidx):
+            ax = axs[v, col]
+            ax.set_xticks([]), ax.set_yticks([])
+            img = None
+            if bundle.frame_paths is not None:
+                try:
+                    img = plt.imread(str(bundle.frame_paths[v, f]))
+                except Exception:
+                    img = None
+            if img is not None:
+                ax.imshow(img)
+            else:
+                ax.imshow(np.ones((H, W, 3), np.float32))
+            draw_skeleton(ax, label[v, f, :, :2], "C0", label[v, f, :, 2:])
+            draw_skeleton(ax, pts2d_pred[v, f], "C2")
+            ax.set_xlim(0, W), ax.set_ylim(H, 0)
+            if col == 0:
+                ax.set_ylabel(f"view {v}")
+    fig.savefig(path, bbox_inches="tight", dpi=80)
+    plt.close(fig)
+
+
 def render_phase_plot(path: str, phase_params: dict, num_views: int) -> None:
     """Learned monotonic warps over [0, 1] (entry script :316-328)."""
     import jax.numpy as jnp

@@ -206,3 +206,64 @@ class TestTriangleRasterizer:
         assert out.shape == (128, 128, 3)
         assert np.isfinite(out).all()
         assert (out < 0.99).any()          # something was drawn
+
+
+class TestEvalGrid:
+    def _bundle(self, tmp_path, with_frames):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from nemo_tpu.data import MultiViewBundle
+        rng = np.random.RandomState(0)
+        V, F = 2, 5
+        labels = {"gt": np.concatenate(
+            [rng.rand(V, F, 25, 2).astype(np.float32) * 60,
+             np.ones((V, F, 25, 1), np.float32)], -1)}
+        frame_paths = None
+        if with_frames:
+            paths = []
+            for v in range(V):
+                row = []
+                for f in range(F):
+                    p = str(tmp_path / f"v{v}_f{f}.png")
+                    plt.imsave(p, rng.rand(64, 80, 3).astype(np.float32))
+                    row.append(p)
+                paths.append(row)
+            frame_paths = np.asarray(paths)
+        return MultiViewBundle(
+            labels=labels, hmr_theta=np.zeros((V, F, 69), np.float32),
+            hmr_mask=np.ones((V, F, 1), np.float32),
+            img_hw=np.array([64.0, 80.0], np.float32),
+            frame_paths=frame_paths)
+
+    def test_grid_without_frames(self, tmp_path):
+        from nemo_tpu.render import render_eval_grid
+        b = self._bundle(tmp_path, with_frames=False)
+        pred = np.random.RandomState(1).rand(2, 5, 25, 2) * 60
+        out = tmp_path / "grid.png"
+        render_eval_grid(str(out), pred, b, "gt", num_frames=3)
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_grid_with_frames_roundtrips_bundle(self, tmp_path):
+        from nemo_tpu.data import MultiViewBundle
+        from nemo_tpu.render import render_eval_grid
+        b = self._bundle(tmp_path, with_frames=True)
+        # frame_paths survive npz save/load without pickling
+        p = str(tmp_path / "b.npz")
+        b.save(p)
+        b2 = MultiViewBundle.load(p)
+        assert b2.frame_paths is not None
+        assert b2.frame_paths.shape == (2, 5)
+        assert str(b2.frame_paths[1, 3]).endswith("v1_f3.png")
+        pred = np.random.RandomState(1).rand(2, 5, 25, 2) * 60
+        out = tmp_path / "grid.png"
+        render_eval_grid(str(out), pred, b2, "gt", num_frames=4)
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_resample_indices_matches_array_resampler(self):
+        from nemo_tpu.data.bundle import (resample_indices,
+                                          resample_to_common_frames)
+        arr = np.arange(17)[:, None].astype(np.float32)
+        got = resample_to_common_frames([arr], 7, 0.25)[0, :, 0]
+        idx = resample_indices(17, 7, 0.25)
+        np.testing.assert_array_equal(got, arr[idx, 0])
