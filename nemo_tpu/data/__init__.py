@@ -1,6 +1,9 @@
 """Data layer: packed bundles, synthetic problems, ingestion adapters."""
 
-from .bundle import MultiViewBundle, resample_to_common_frames
+from .bundle import (MultiViewBundle, resample_indices,
+                     resample_to_common_frames)
+from .sharded import (ShardedDataset, as_sharded_arrays, batch_iterator,
+                      write_shards)
 from .camera_fit import fit_gt_camera
 from .tracker import bbox_to_cs, iou, run_vibe_on_tracks, track_bboxes
 from .crops import bbox_from_keypoints, crop_image, get_single_image_crop
@@ -14,7 +17,9 @@ from .vibe import (densify_person, load_vibe_pickle, select_person_near_gt,
                    vibe_to_theta)
 
 __all__ = [
-    "MultiViewBundle", "resample_to_common_frames", "make_cameras",
+    "MultiViewBundle", "resample_indices", "resample_to_common_frames",
+    "ShardedDataset", "as_sharded_arrays", "batch_iterator", "write_shards",
+    "make_cameras",
     "monotone_warp", "smooth_motion", "synthetic_problem",
     "flip_horizontal", "load_openpose_dir", "parse_openpose_json",
     "load_penn_sequence", "penn_gt_to_op", "densify_person",
