@@ -6,6 +6,7 @@ from .hmr import (convert_torch_hmr, hmr_forward, hmr_head, imagenet_normalize,
 from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
                     humor_infer_seq, humor_posterior, humor_prior,
                     humor_roll_out, humor_single_step, humor_train_loss,
+                    make_humor_train_step,
                     humor_transition_prior_loss, init_humor, pack_state,
                     split_state)
 from .humor_eval import humor_eval_metrics
@@ -24,7 +25,8 @@ __all__ = [
     "temporal_encoder", "vibe_forward",
     "HumorConfig", "STATE_DIM", "gaussian_kl", "humor_decode",
     "humor_posterior", "humor_prior", "humor_roll_out", "humor_single_step",
-    "humor_train_loss", "init_humor", "pack_state", "split_state",
+    "humor_train_loss", "make_humor_train_step", "init_humor", "pack_state",
+    "split_state",
     "humor_infer_seq", "humor_transition_prior_loss",
     "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
     "VibeLossWeights", "init_motion_discriminator",

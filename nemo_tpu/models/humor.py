@@ -299,3 +299,29 @@ def humor_train_loss(p: Params, cfg: HumorConfig, past: jnp.ndarray,
         metrics["contacts_bce"] = bce
     metrics["loss"] = loss
     return loss, metrics
+
+
+def make_humor_train_step(cfg: HumorConfig, lr: float = 1e-4,
+                          kl_weight: float = 4e-4):
+    """Jitted (params, opt_state, past, target, key) -> (params, opt_state,
+    metrics) CVAE train step (humor train loop :32-99, Adam + grad step).
+
+    Scale-out mirrors the VPoser trainer: feed (past, target) batches from
+    data.sharded.batch_iterator (keys "past"/"target", each (B, 69*5) /
+    (B, STATE_DIM) packed states), place them dp-sharded and replicate
+    params — jit inserts the gradient all-reduce.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state, past, target, key):
+        (_, metrics), grads = jax.value_and_grad(
+            humor_train_loss, has_aux=True)(params, cfg, past, target, key,
+                                            kl_weight)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return opt, step

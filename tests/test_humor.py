@@ -123,3 +123,36 @@ class TestHumorEval:
         assert out["kl"].shape == (2, 4)
         loss = float(humor_transition_prior_loss(p, cfg, seqs))
         np.testing.assert_allclose(loss, float(out["kl"].mean()), rtol=1e-5)
+
+
+def test_humor_train_step_from_shards(tmp_path):
+    """make_humor_train_step converges on sharded (past, target) batches."""
+    import jax
+    import jax.numpy as jnp
+    from nemo_tpu.data import ShardedDataset, batch_iterator, write_shards
+    from nemo_tpu.models import HumorConfig, STATE_DIM, init_humor, \
+        make_humor_train_step
+
+    cfg = HumorConfig(latent_size=8, steps_in=1)
+    rng = np.random.RandomState(0)
+    n = 64
+    write_shards({"past": 0.1 * rng.randn(n, STATE_DIM * cfg.steps_in
+                                          ).astype(np.float32),
+                  "target": 0.1 * rng.randn(n, STATE_DIM).astype(np.float32)},
+                 str(tmp_path / "amass"), shard_size=32)
+    ds = ShardedDataset(str(tmp_path / "amass"))
+    params = init_humor(jax.random.PRNGKey(0), cfg)
+    opt, step = make_humor_train_step(cfg, lr=1e-3)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(3):  # 3 epochs over the shards
+        for b in batch_iterator(ds, 16, seed=0, epochs=1):
+            key, k = jax.random.split(key)
+            params, opt_state, m = step(params, opt_state,
+                                        jnp.asarray(b["past"]),
+                                        jnp.asarray(b["target"]), k)
+            losses.append(float(m["loss"]))
+    assert len(losses) == 12
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])  # learning happens
