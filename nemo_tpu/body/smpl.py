@@ -346,3 +346,56 @@ def smpl_verts_t(model: SMPLModel, betas: jnp.ndarray,
     op = skin_verts_t_padded if padded else skin_verts_t
     return op(model.num_vertices, pf, A34, v_shaped[0].T,
               model.pd_tiles, model.w_tiles)
+
+
+def subset_skin_tables(model: SMPLModel, n: int):
+    """Even vertex subsample + pre-tiled skinning tables for it (host, once).
+
+    For the v2v prior on a vertex subset (NemoConfig.vp_v2v_n_verts): the
+    prior only needs a surface-covering sample, not all 6890 vertices, and
+    the skinning kernels scale linearly with the vertex count. Returns
+    (vidx (n,), pd_tiles, w_tiles) with the subset tiled at a lane-sized
+    tile so tiny subsets don't pad to the canonical 512.
+    """
+    from ..ops.lbs_pallas import tile_tables
+    V = model.num_vertices
+    vidx = np.unique(np.linspace(0, V - 1, n).astype(np.int64))
+    pd_t = np.asarray(model.posedirs_t)[:, :, vidx]
+    w_t = np.asarray(model.lbs_weights_t)[:, vidx]
+    tv = min(512, max(128, 1 << int(np.ceil(np.log2(max(len(vidx), 1))))))
+    pd_tiles, w_tiles, _ = tile_tables(pd_t, w_t, tv=tv)
+    return (jnp.asarray(vidx, jnp.int32), jnp.asarray(pd_tiles),
+            jnp.asarray(w_tiles))
+
+
+def smpl_verts_t_subset(model: SMPLModel, betas: jnp.ndarray,
+                        body_rot: jnp.ndarray, orient_rot: jnp.ndarray,
+                        vidx: jnp.ndarray, pd_tiles: jnp.ndarray,
+                        w_tiles: jnp.ndarray) -> jnp.ndarray:
+    """smpl_verts_t on a vertex subset: (B, 3, len(vidx)).
+
+    Joint regression still uses the FULL v_shaped (the kinematic tree must
+    not change); only the skinned output is subsampled. Tables come from
+    subset_skin_tables.
+    """
+    from ..ops.lbs_pallas import skin_verts_t
+
+    B = body_rot.shape[0]
+    rot_mats = jnp.concatenate(
+        [jnp.broadcast_to(orient_rot.reshape(-1, 1, 3, 3), (B, 1, 3, 3)),
+         body_rot], axis=1)
+    v_shaped = model.v_template + jnp.einsum(
+        'bl,mkl->bmk', betas, model.shapedirs, precision=HI)
+    if v_shaped.shape[0] != 1:
+        raise NotImplementedError("smpl_verts_t_subset requires shared betas")
+    J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped, precision=HI)
+
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pf = (rot_mats[:, 1:] - ident).reshape(B, 23 * 9)
+    R_g, _, t_rel = fk_rt(rot_mats, J, model.parents)
+    A34 = jnp.concatenate([R_g, t_rel[..., None]], axis=-1).reshape(
+        B, NUM_JOINTS, 12)
+
+    vsh_sub = v_shaped[0].T[:, vidx]                       # (3, n)
+    return skin_verts_t(int(vidx.shape[0]), pf, A34, vsh_sub,
+                        pd_tiles, w_tiles)

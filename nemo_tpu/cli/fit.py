@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "mse_robust_resized"])
     p.add_argument("--weight_vp_loss", type=float, default=0)
     p.add_argument("--weight_vp_z_loss", type=float, default=0)
+    p.add_argument("--vp_v2v_n_verts", type=int, default=0,
+                   help="evaluate the v2v prior on an even N-vertex "
+                        "subsample (0 = all vertices, reference behavior)")
     p.add_argument("--weight_gmm_loss", type=float, default=1e-2)
     p.add_argument("--weight_instance_loss", type=float, default=0)
     p.add_argument("--weight_3d_loss", type=float, default=0)

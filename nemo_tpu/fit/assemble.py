@@ -21,6 +21,13 @@ def build_assets(bundle: MultiViewBundle, smpl: SMPLModel,
     (:3440-3453), as one-time host work producing static device arrays.
     """
     labels = bundle.label(cfg.label_type)
+    v2v_sub = {}
+    if getattr(cfg, "vp_v2v_n_verts", 0):
+        from ..body.smpl import subset_skin_tables
+        vidx, pd_tiles, w_tiles = subset_skin_tables(smpl,
+                                                     cfg.vp_v2v_n_verts)
+        v2v_sub = dict(v2v_vidx=vidx, v2v_pd_tiles=pd_tiles,
+                       v2v_w_tiles=w_tiles)
     return NemoAssets(
         smpl=smpl,
         gmm=gmm,
@@ -31,4 +38,5 @@ def build_assets(bundle: MultiViewBundle, smpl: SMPLModel,
         hmr_mask=jnp.asarray(bundle.hmr_mask),
         img_d0=bundle.img_d0,
         img_d1=bundle.img_d1,
+        **v2v_sub,
     )

@@ -68,6 +68,10 @@ class NemoConfig:
     weight_vp_loss: float = 0.0
     weight_vp_z_loss: float = 0.0
     weight_gmm_loss: float = 0.5
+    # v2v prior on an even vertex subsample (0 = all 6890, the reference
+    # behavior). TPU-only knob: the step's dominant cost is the two
+    # full-mesh skinnings; 1024 vertices ~ 2 lane tiles
+    vp_v2v_n_verts: int = 0
     weight_instance_loss: float = 0.0
     weight_3d_loss: float = 0.0
     code_noise: float = 0.0
@@ -111,6 +115,12 @@ class NemoAssets:
     hmr_mask: jnp.ndarray       # (V, F, 1)
     img_d0: float
     img_d1: float
+    # optional v2v vertex-subset tables (cfg.vp_v2v_n_verts > 0): the
+    # VPoser v2v prior evaluated on an even vertex subsample — the step's
+    # dominant cost scales with the vertex count (ROADMAP: perf profile)
+    v2v_vidx: Optional[jnp.ndarray] = None      # (n,) int32 vertex ids
+    v2v_pd_tiles: Optional[jnp.ndarray] = None  # tile_tables of the subset
+    v2v_w_tiles: Optional[jnp.ndarray] = None
 
     @property
     def num_views(self) -> int:
@@ -124,8 +134,12 @@ class NemoAssets:
 jax.tree_util.register_pytree_node(
     NemoAssets,
     lambda a: ((a.smpl, a.gmm, a.vposer, a.points2d_gt, a.bbox_diag,
-                a.hmr_theta, a.hmr_mask), (a.img_d0, a.img_d1)),
-    lambda aux, c: NemoAssets(*c, img_d0=aux[0], img_d1=aux[1]),
+                a.hmr_theta, a.hmr_mask, a.v2v_vidx, a.v2v_pd_tiles,
+                a.v2v_w_tiles), (a.img_d0, a.img_d1)),
+    lambda aux, c: NemoAssets(c[0], c[1], c[2], c[3], c[4], c[5], c[6],
+                              img_d0=aux[0], img_d1=aux[1],
+                              v2v_vidx=c[7], v2v_pd_tiles=c[8],
+                              v2v_w_tiles=c[9]),
 )
 
 
@@ -287,10 +301,16 @@ def _smpl_verts_from_aa(params: Params, assets: NemoAssets,
     skinning op (ops/lbs_pallas.py) — the v2v L1 downstream is
     layout-agnostic, so the mesh is never transposed back.
     """
-    from ..body.smpl import smpl_verts_t
+    from ..body.smpl import smpl_verts_t, smpl_verts_t_subset
     B = poses_aa.shape[0]
     rot = batch_rodrigues(poses_aa.reshape(B, 23, 3))
     orient_rot = rot6d_to_rotmat(orient6d)[:, None]
+    if assets.v2v_vidx is not None:
+        # opt-in vertex subsample (cfg.vp_v2v_n_verts) — the v2v prior only
+        # needs a surface-covering sample and skinning scales with V
+        return smpl_verts_t_subset(assets.smpl, params["betas"], rot,
+                                   orient_rot, assets.v2v_vidx,
+                                   assets.v2v_pd_tiles, assets.v2v_w_tiles)
     # padded=True: tile-aligned (B, 3, Vp) with zero pad lanes — the v2v
     # difference cancels there, and the slice/pad copies (~170 MB/step over
     # the two forwards' VJPs) disappear.
@@ -318,8 +338,13 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     # Pallas skinning).
     verts_orig = _smpl_verts_from_aa(params, assets, poses, orient6d)
     verts_rec = _smpl_verts_from_aa(params, assets, recon, orient6d)
-    # outputs are lane-padded: mean over the TRUE element count
-    n_real = verts_orig.shape[0] * 3 * assets.smpl.num_vertices
+    # outputs are lane-padded: mean over the TRUE element count (subset
+    # path returns exactly (B, 3, n) — its shape IS the element count)
+    if assets.v2v_vidx is not None:
+        n_verts = int(assets.v2v_vidx.shape[0])
+    else:
+        n_verts = assets.smpl.num_vertices
+    n_real = verts_orig.shape[0] * 3 * n_verts
     v2v = jnp.abs(jax.lax.stop_gradient(verts_rec) - verts_orig).sum() / n_real
     kl = vposer_kl_to_std_normal(mu, scale)
     return v2v, kl

@@ -207,3 +207,49 @@ class TestEndToEndFit:
             (fitter.state.params, fitter.state.opt_state))
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves
                    if np.asarray(l).dtype.kind == 'f')
+
+
+def test_vposer_v2v_vertex_subset(rng):
+    """vp_v2v_n_verts: subset skinning matches a gather of the full mesh,
+    and the fit loss stays finite with finite grads."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.body.smpl import (smpl_verts_t, smpl_verts_t_subset,
+                                    subset_skin_tables)
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, build_assets, fit_loss, init_params
+    from nemo_tpu.priors import init_vposer, synthetic_gmm_prior
+    from scipy.spatial.transform import Rotation as sRot
+
+    model = synthetic_smpl_model(num_vertices=640, seed=0)
+    vidx, pd_tiles, w_tiles = subset_skin_tables(model, 64)
+    assert vidx.shape[0] <= 64 and pd_tiles.shape[-1] == 128
+
+    aa = 0.3 * rng.randn(2, 24, 3).astype(np.float32)
+    rot = jnp.asarray(sRot.from_rotvec(aa.reshape(-1, 3)).as_matrix()
+                      .reshape(2, 24, 3, 3).astype(np.float32))
+    betas = jnp.asarray(0.2 * rng.randn(1, 10).astype(np.float32))
+    sub = smpl_verts_t_subset(model, betas, rot[:, 1:], rot[:, :1],
+                              vidx, pd_tiles, w_tiles)
+    full = smpl_verts_t(model, betas, rot[:, 1:], rot[:, :1])
+    np.testing.assert_allclose(np.asarray(sub),
+                               np.asarray(full)[:, :, np.asarray(vidx)],
+                               atol=2e-5)
+
+    bundle, _ = synthetic_problem(model, num_views=2, num_frames=6)
+    cfg = NemoConfig(model_version=2, h_dim=16, instance_code_size=2,
+                     phase_rbf_dim=8, monotonic_network_n_nodes=4,
+                     batch_size=8, weight_vp_loss=10.0, weight_vp_z_loss=1.0,
+                     weight_gmm_loss=1.0, label_type="gt",
+                     vp_v2v_n_verts=64)
+    assets = build_assets(bundle, model, cfg, gmm=synthetic_gmm_prior(2),
+                          vposer=init_vposer(jax.random.PRNGKey(0)))
+    assert assets.v2v_vidx is not None
+    params = init_params(jax.random.PRNGKey(1), cfg, 2, assets.img_d0)
+    vi = jnp.zeros(8, jnp.int32)
+    fi = jnp.arange(8, dtype=jnp.int32) % 6
+    (loss, metrics), grads = jax.value_and_grad(fit_loss, has_aux=True)(
+        params, cfg, assets, vi, fi, training=False)
+    assert np.isfinite(float(loss))
+    assert float(metrics["vp_recon_loss"]) > 0
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(grads))
