@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 
-REFERENCE_STEPS_PER_SEC = 5.0  # estimated torch single-GPU throughput
+# ESTIMATE, not a measurement: the reference publishes no throughput numbers
+# and no GPU exists on this box to run it (see BASELINE.md). Derived from
+# tqdm-style step pacing of comparable single-GPU torch fit loops; every
+# "vs_baseline"/"~50x" figure downstream inherits this caveat.
+REFERENCE_STEPS_PER_SEC = 5.0
 
 
 def main():

@@ -223,8 +223,8 @@ def smpl_forward(model: SMPLModel,
                  global_orient: jnp.ndarray,
                  pose2rot: bool = False,
                  want_vertices: bool = True,
-                 transl: Optional[jnp.ndarray] = None
-                 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+                 transl: Optional[jnp.ndarray] = None,
+                 want_fk_joints: bool = False):
     """Full SMPL forward pass.
 
     Args:
@@ -235,9 +235,13 @@ def smpl_forward(model: SMPLModel,
       want_vertices: if False, skip the mesh and use the fused
         joint-regressor path (identical joints, far less HBM traffic).
       transl: optional (B, 3) translation added to outputs.
+      want_fk_joints: also return the raw 24 kinematic-chain joints
+        (B, 24, 3) as a third element (the HuMoR state builder needs
+        joints in SMPL tree order, which the 49-joint remap discards).
     Returns:
       (vertices or None, joints49): vertices (B, V, 3); joints (B, 49, 3) in
-      the SPIN 49-joint order (hmr/smpl.py:29-43).
+      the SPIN 49-joint order (hmr/smpl.py:29-43). With want_fk_joints, the
+      tuple gains posed_joints (B, 24, 3).
     """
     if pose2rot:
         body_rot = batch_rodrigues(body_pose.reshape(-1, 23, 3))
@@ -289,6 +293,10 @@ def smpl_forward(model: SMPLModel,
         if transl is not None:
             verts = verts + transl[:, None, :]
             joints49 = joints49 + transl[:, None, :]
+        if want_fk_joints:
+            pj = posed_joints + transl[:, None, :] if transl is not None \
+                else posed_joints
+            return verts, joints49, pj
         return verts, joints49
 
     # ---- joints-only fused path ----
@@ -308,6 +316,10 @@ def smpl_forward(model: SMPLModel,
     joints49 = joints54[:, np.asarray(model.joint_map)]
     if transl is not None:
         joints49 = joints49 + transl[:, None, :]
+    if want_fk_joints:
+        pj = posed_joints + transl[:, None, :] if transl is not None \
+            else posed_joints
+        return None, joints49, pj
     return None, joints49
 
 

@@ -67,8 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["adam", "adamw"])
     p.add_argument("--wd_human", type=float, default=0)
     p.add_argument("--loss", type=str, default="mse",
-                   choices=["rmse", "mse", "rmse_robust", "mse_robust",
-                            "mse_robust_resized"])
+                   choices=["rmse", "rmse_resized", "mse", "rmse_robust",
+                            "mse_robust", "mse_robust_resized"])
+    # V0's per-network learning rates (neural_motion_model.py:3180-3199)
+    p.add_argument("--lr_pose", type=float, default=1e-2)
+    p.add_argument("--lr_orient", type=float, default=1e-2)
+    p.add_argument("--lr_trans", type=float, default=1e-2)
     p.add_argument("--weight_vp_loss", type=float, default=0)
     p.add_argument("--weight_vp_z_loss", type=float, default=0)
     p.add_argument("--vp_v2v_n_verts", type=int, default=0,
@@ -77,11 +81,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_gmm_loss", type=float, default=1e-2)
     p.add_argument("--weight_instance_loss", type=float, default=0)
     p.add_argument("--weight_3d_loss", type=float, default=0)
+    # custom-video entry surface (learned_multi_view_recon_nn_custom.py):
+    # HuMoR dynamics prior over consecutive-frame transitions
+    p.add_argument("--weight_humor_loss", type=float, default=0)
+    p.add_argument("--humor_fps", type=float, default=30.0)
+    p.add_argument("--humor_ckpt", type=str, default="",
+                   help="HuMoR torch checkpoint to convert (synthetic "
+                        "weights are used if unset with --synthetic_assets)")
     p.add_argument("--label_type", type=str, default="gt",
                    choices=["gt", "op", "intersection"])
+    p.add_argument("--label_intersection_threshold", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render_video", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--render_every", type=int, default=0,
+                   help="emit a keypoint-rollout PNG every N fit steps "
+                        "(entry script :283-288; 0 = only at the end)")
     return p
 
 
@@ -109,7 +124,16 @@ def load_assets(args, bundle, cfg):
     elif args.synthetic_assets and (cfg.weight_vp_loss or cfg.weight_vp_z_loss):
         vposer = init_vposer(jax.random.PRNGKey(0))
 
-    return build_assets(bundle, smpl, cfg, gmm=gmm, vposer=vposer)
+    humor = None
+    if cfg.weight_humor_loss:
+        from ..models.humor import init_humor, load_humor
+        if args.humor_ckpt:
+            humor = load_humor(args.humor_ckpt)
+        elif args.synthetic_assets:
+            humor = init_humor(jax.random.PRNGKey(1))
+
+    return build_assets(bundle, smpl, cfg, gmm=gmm, vposer=vposer,
+                        humor=humor)
 
 
 def main(argv=None) -> int:
@@ -180,9 +204,26 @@ def main(argv=None) -> int:
                 metrics_log.write({"phase": "opt_cam_done",
                                    "loss": float(cm[key][-1])})
 
+        def render_rollout(f, step):
+            """In-fit keypoint rollout (entry script :283-288)."""
+            import jax.numpy as jnp
+            from ..fit.model import predict, project_to_views
+            from ..render import render_keypoint_rollout
+            V, F = assets.num_views, assets.num_frames
+            vi = jnp.repeat(jnp.arange(V), F)
+            fi = jnp.tile(jnp.arange(F), V)
+            pr = predict(f.state.params, cfg, assets, vi, fi)
+            p2 = project_to_views(f.state.params, cfg, assets, pr["j"], vi)
+            render_keypoint_rollout(
+                osp.join(out_dir, f"rollout_{step:06d}.png"),
+                np.asarray(p2).reshape(V, F, 25, 2), bundle)
+
         def on_chunk(f, step, chunk_metrics):
-            ckpt_dir = osp.join(out_dir, "ckpt", f"sd_{step:06d}")
-            save_fit_state(ckpt_dir, f.state, cfg)
+            if step % args.save_every == 0 or step >= cfg.n_steps:
+                ckpt_dir = osp.join(out_dir, "ckpt", f"sd_{step:06d}")
+                save_fit_state(ckpt_dir, f.state, cfg)
+            if args.render_every > 0 and step % args.render_every == 0:
+                render_rollout(f, step)
             metrics_log.write({"phase": "fit", "step": step,
                                **{k: float(v[-1])
                                   for k, v in chunk_metrics.items()}})
@@ -190,9 +231,11 @@ def main(argv=None) -> int:
                   f"total={float(chunk_metrics['total_loss'][-1]):.4f} "
                   f"kp={float(chunk_metrics['kp_loss'][-1]):.4f}")
 
+        import math
+        chunk = args.save_every if args.render_every <= 0 else \
+            math.gcd(args.save_every, args.render_every)
         with Timer("Main fit"):
-            all_metrics = fitter.fit(chunk=args.save_every,
-                                     on_chunk=on_chunk)
+            all_metrics = fitter.fit(chunk=chunk, on_chunk=on_chunk)
         np.savez(osp.join(out_dir, "losses.npz"), **all_metrics)
         from ..render import render_loss_curves
         render_loss_curves(out_dir, all_metrics)
@@ -227,7 +270,11 @@ def main(argv=None) -> int:
         write_csv(stats2d, osp.join(out_dir, "eval_2d.csv"))
     if bundle.gt3d_pose is not None:
         pred_pose = np.asarray(preds["poses"]).reshape(V, F, 69)
+        # baseline columns: vibe (the initializer) + any packed vs/pare/glamr
+        # pose slots (the reference's eval_3d columns :1237-1277)
         baselines = {"vibe": bundle.hmr_theta}
+        for bname, bpose in (bundle.baseline_poses or {}).items():
+            baselines[bname] = bpose[..., :69]
         stats3d = eval_3d(assets.smpl, pred_pose, bundle.gt3d_pose,
                           baselines)
         write_csv(stats3d, osp.join(out_dir, "eval_3d.csv"))

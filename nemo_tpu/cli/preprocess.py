@@ -44,6 +44,14 @@ def build_parser():
                    help="comma-separated Penn Action labels/NNNN.mat paths "
                         "(one per view) -> 'gt' 2D labels via the 13->25 "
                         "L/R-swapped mapping")
+    # 3D baseline slots for eval_3d columns (comma-separated, one per view;
+    # the reference's vs/pare/glamr loaders, multi_view_sequence.py:336-392)
+    p.add_argument("--vs_pkls", type=str, default="",
+                   help="VIBE+SMPLify vibe_output.pkl paths")
+    p.add_argument("--pare_pkls", type=str, default="",
+                   help="PARE pare_output.pkl paths (rotmat poses)")
+    p.add_argument("--glamr_pkls", type=str, default="",
+                   help="GLAMR grecon *_seed1.pkl paths")
     return p
 
 
@@ -79,8 +87,18 @@ def main(argv=None) -> int:
         op = load_openpose_dir(op_dir)
         op_per_view.append(op)
 
+        # GT 2D: packed .npy, or the reference's on-disk layout — a
+        # `<view>_gt_new/` dir of per-frame joblib pkls
+        # (multi_view_sequence.py:336-344)
         gt_path = base + "_gt_2d.npy"
-        gt_per_view.append(np.load(gt_path) if osp.exists(gt_path) else None)
+        gt_dir = base + "_gt_new"
+        if osp.exists(gt_path):
+            gt_per_view.append(np.load(gt_path))
+        elif osp.isdir(gt_dir):
+            from ..data import load_gt2d_pkl_dir
+            gt_per_view.append(load_gt2d_pkl_dir(gt_dir))
+        else:
+            gt_per_view.append(None)
 
         vibe_path = None
         for cand in (osp.join(exp_dir, name + "_vibe", "vibe_output.pkl"),
@@ -125,20 +143,52 @@ def main(argv=None) -> int:
     if args.mocap_pkl:
         import joblib
         mocap = joblib.load(args.mocap_pkl)
-        pose = np.asarray(mocap["fullpose"], np.float32)[:, :72]
+        # MoSh fullpose is SMPL-H: keep root + 21 body joints, zero the
+        # 2 hand slots (multi_view_sequence.py:397-400 pads :66 with 6 zeros)
+        body = np.asarray(mocap["fullpose"], np.float32)[:, :66]
+        pose = np.concatenate(
+            [body, np.zeros((body.shape[0], 6), np.float32)], axis=1)
         trans = np.asarray(mocap["trans"], np.float32)
         kwargs["gt3d_pose"] = resample_to_common_frames(
             [pose] * len(names), F, args.start_phase)
         kwargs["gt3d_trans"] = resample_to_common_frames(
             [trans] * len(names), F, args.start_phase)
     if args.gt_cam_paths:
-        cams = [np.load(p) for p in args.gt_cam_paths.split(",")]
+        # per-view camera files: packed .npy (9,) vectors, or the
+        # reference's torch `opt_cam_IMG_*.pt` (learned_cameras, focal) /
+        # joblib {'rot6d','tran','K'} payloads
+        # (multi_view_sequence.py:402-409, nemomocap_utils.py:205-211)
+        from ..data import load_gt_camera_pt
+        cams = []
+        for p in args.gt_cam_paths.split(","):
+            if p.endswith(".npy"):
+                cams.append(np.load(p).reshape(-1)[:9])
+            else:
+                cam9, _focal = load_gt_camera_pt(p)
+                cams.append(cam9)
         kwargs["gt_cameras"] = np.stack(cams).astype(np.float32)
     if all(f is not None and len(f) for f in frames_per_view):
         from ..data.bundle import resample_indices
         kwargs["frame_paths"] = np.stack([
             np.asarray(f)[resample_indices(len(f), F, args.start_phase)]
             for f in frames_per_view])
+
+    baseline_poses = {}
+    for kind, arg in (("vs", args.vs_pkls), ("pare", args.pare_pkls),
+                      ("glamr", args.glamr_pkls)):
+        if not arg:
+            continue
+        from ..data import load_baseline_pickle
+        per_view = []
+        for v, p in enumerate(arg.split(",")):
+            theta = load_baseline_pickle(p, lens[v], kind,
+                                         gt_2d=op_per_view[v])
+            per_view.append(theta if theta is not None
+                            else np.zeros((lens[v], 70), np.float32))
+        baseline_poses[kind] = resample_to_common_frames(
+            per_view, F, args.start_phase).astype(np.float32)
+    if baseline_poses:
+        kwargs["baseline_poses"] = baseline_poses
 
     fm = np.asarray([F / max(l, 1) for l in lens], np.float32)
     bundle = MultiViewBundle(

@@ -5,27 +5,36 @@ from .bundle import (MultiViewBundle, resample_indices,
 from .sharded import (ShardedDataset, as_sharded_arrays, batch_iterator,
                       write_shards)
 from .camera_fit import fit_gt_camera
-from .tracker import bbox_to_cs, iou, run_vibe_on_tracks, track_bboxes
+from .tracker import (bbox_to_cs, crop_to_image_coords, iou,
+                      run_vibe_on_tracks, track_bboxes,
+                      track_bboxes_sort)
+from .smoothing import (OneEuroFilter, smooth_bbox_params,
+                        smooth_pose_sequence)
 from .crops import bbox_from_keypoints, crop_image, get_single_image_crop
 from .video import (frames_to_video, openpose_command, run_openpose,
                     video_to_frames)
-from .openpose import flip_horizontal, load_openpose_dir, parse_openpose_json
+from .openpose import (flip_horizontal, load_gt2d_pkl_dir,
+                       load_gt_camera_pt, load_openpose_dir,
+                       parse_openpose_json)
 from .penn_action import load_penn_sequence, penn_gt_to_op
 from .synthetic import (make_cameras, monotone_warp, smooth_motion,
                         synthetic_problem)
-from .vibe import (densify_person, load_vibe_pickle, select_person_near_gt,
-                   vibe_to_theta)
+from .vibe import (densify_person, load_baseline_pickle,
+                   load_vibe_pickle, select_person_near_gt, vibe_to_theta)
 
 __all__ = [
     "MultiViewBundle", "resample_indices", "resample_to_common_frames",
     "ShardedDataset", "as_sharded_arrays", "batch_iterator", "write_shards",
     "make_cameras",
     "monotone_warp", "smooth_motion", "synthetic_problem",
-    "flip_horizontal", "load_openpose_dir", "parse_openpose_json",
+    "flip_horizontal", "load_gt2d_pkl_dir", "load_gt_camera_pt",
+    "load_openpose_dir", "parse_openpose_json",
     "load_penn_sequence", "penn_gt_to_op", "densify_person",
-    "load_vibe_pickle", "select_person_near_gt", "vibe_to_theta",
+    "load_baseline_pickle", "load_vibe_pickle",
+    "select_person_near_gt", "vibe_to_theta",
     "bbox_from_keypoints", "crop_image", "get_single_image_crop",
     "frames_to_video", "openpose_command", "run_openpose", "video_to_frames",
-    "fit_gt_camera", "bbox_to_cs", "iou", "run_vibe_on_tracks",
-    "track_bboxes",
+    "fit_gt_camera", "bbox_to_cs", "crop_to_image_coords", "iou",
+    "run_vibe_on_tracks", "track_bboxes", "track_bboxes_sort",
+    "OneEuroFilter", "smooth_bbox_params", "smooth_pose_sequence",
 ]

@@ -41,6 +41,10 @@ class MultiViewBundle:
     gt_betas: Optional[np.ndarray] = None      # (1, 10)
     framerate_multiplier: Optional[np.ndarray] = None  # (V,)
     frame_paths: Optional[np.ndarray] = None   # (V, F) unicode image paths
+    # 3D baseline body poses for eval_3d columns (vs/pare/glamr; vibe lives
+    # in hmr_theta): {name: (V, F, 70)} = 69 axis-angle dims + validity mask
+    # (the commented-out loader slots of multi_view_sequence.py:336-392)
+    baseline_poses: Optional[Dict[str, np.ndarray]] = None
     name: str = "bundle"
 
     @property
@@ -59,11 +63,13 @@ class MultiViewBundle:
     def img_d1(self) -> float:
         return float(self.img_hw[1])
 
-    def label(self, label_type: str) -> np.ndarray:
+    def label(self, label_type: str,
+              intersection_threshold: float = 30.0) -> np.ndarray:
         """2D supervision of the given type, with the 'intersection' blend.
 
         'intersection' averages op and gt positions and gates confidence on
-        their agreement (collate_gt_2d :2929-2945).
+        their agreement within intersection_threshold pixels (collate_gt_2d
+        :2929-2945; the reference's --label_intersection_threshold flag).
         """
         if label_type in self.labels:
             return self.labels[label_type]
@@ -73,18 +79,20 @@ class MultiViewBundle:
             mean = (gt1[..., :2] + gt2[..., :2]) / 2
             dist = np.sqrt(((gt1[..., :2] - gt2[..., :2]) ** 2)
                            .sum(-1, keepdims=True))
-            conf = (dist < 30.0).astype(np.float32) * gt1[..., -1:]
+            conf = (dist < intersection_threshold).astype(np.float32) \
+                * gt1[..., -1:]
             return np.concatenate([mean, conf], -1)
         raise KeyError(f"label type {label_type!r} not in bundle "
                        f"(have {sorted(self.labels)})")
 
-    def bbox_diag(self, label_type: str) -> np.ndarray:
+    def bbox_diag(self, label_type: str,
+                  intersection_threshold: float = 30.0) -> np.ndarray:
         """Keypoint-extent bbox diagonal per (view, frame): (V, F).
 
         The 1e-4 shift keeps empty frames from producing a 0 size (whose
         sqrt would NaN gradients downstream) — collate_gt_2d :2950-2960.
         """
-        pts = self.label(label_type)
+        pts = self.label(label_type, intersection_threshold)
         d0 = pts[..., 0].max(-1) - pts[..., 0].min(-1)
         d1 = pts[..., 1].max(-1) - pts[..., 1].min(-1)
         return np.sqrt(d0 ** 2 + d1 ** 2) + 1e-4
@@ -100,6 +108,8 @@ class MultiViewBundle:
         }
         for k, v in self.labels.items():
             payload[f"labels_{k}"] = v
+        for k, v in (self.baseline_poses or {}).items():
+            payload[f"bpose_{k}"] = v
         for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
                   "framerate_multiplier", "frame_paths"):
             v = getattr(self, k)
@@ -113,7 +123,9 @@ class MultiViewBundle:
         data = np.load(path, allow_pickle=False)
         labels = {k[len("labels_"):]: data[k] for k in data.files
                   if k.startswith("labels_")}
-        kwargs = {}
+        bposes = {k[len("bpose_"):]: data[k] for k in data.files
+                  if k.startswith("bpose_")}
+        kwargs = {"baseline_poses": bposes} if bposes else {}
         for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
                   "framerate_multiplier", "frame_paths"):
             if k in data.files:

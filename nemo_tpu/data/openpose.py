@@ -54,3 +54,59 @@ def flip_horizontal(pose2d: np.ndarray, width: float) -> np.ndarray:
     out = pose2d.copy()
     out[..., 0] = width / 2 + (width / 2 - out[..., 0])
     return out[..., OP25_FLIP_PERM, :]
+
+
+def load_gt2d_pkl_dir(dirpath: str,
+                      num_frames: Optional[int] = None) -> np.ndarray:
+    """GT-2D annotation directory -> (F, 25, 3) in OpenPose layout.
+
+    The NeMo-MoCap layout (multi_view_sequence.py:336-344, 429-435):
+    `<view>_gt_new/NNNNNN_keypoints.pkl` (1-indexed), each a joblib pickle
+    of shape (P, K, 2); the loader takes person 0's first 15 joints, gives
+    them confidence 1, and zero-pads to 25 rows.
+    """
+    import joblib
+
+    names = sorted(n for n in os.listdir(dirpath) if n.endswith(".pkl"))
+    if num_frames is not None:
+        names = names[:num_frames]
+    out = []
+    for n in names:
+        arr = np.asarray(joblib.load(os.path.join(dirpath, n)),
+                         dtype=np.float32)
+        kp15 = arr[0, :15, :2]
+        kp = np.concatenate([kp15, np.ones((15, 1), np.float32)], axis=1)
+        out.append(np.concatenate([kp, np.zeros((10, 3), np.float32)],
+                                  axis=0))
+    return np.stack(out)
+
+
+def load_gt_camera_pt(path: str):
+    """A NeMo-MoCap GT camera file -> (cam9 (9,), focal_length).
+
+    Two on-disk formats exist (multi_view_sequence.py:402-409 /
+    nemomocap_utils.py:205-211): torch.save of (learned_cameras(9,),
+    focal_length) where cam9 = [trans(3), rot6d(6)], or a joblib dict
+    {'rot6d', 'tran', 'K'} from the re-optimized fit. Torch is only
+    imported for .pt payloads.
+    """
+    try:
+        import joblib
+        data = joblib.load(path)
+        if isinstance(data, dict) and "rot6d" in data:
+            cam9 = np.concatenate([
+                np.asarray(data["tran"], np.float32).reshape(3),
+                np.asarray(data["rot6d"], np.float32).reshape(6)])
+            K = np.asarray(data.get("K"), np.float32)
+            f = float(K.reshape(3, 3)[0, 0]) if K is not None else 5000.0
+            return cam9, f
+    except Exception:
+        pass
+    import torch
+    cams, focal = torch.load(path, map_location="cpu", weights_only=False)
+    cams = np.asarray(cams.detach().cpu().numpy()
+                      if hasattr(cams, "detach") else cams, np.float32)
+    if hasattr(focal, "item"):
+        focal = focal.item() if focal.numel() == 1 else float(
+            np.asarray(focal.detach().cpu().numpy()).reshape(-1)[0])
+    return cams.reshape(-1)[:9], float(focal)

@@ -81,23 +81,34 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
                        backbone, gru, head, smpl,
                        min_track_len: int = 25,
                        batch_time: int = 64,
-                       out_res: int = 224) -> Dict[int, dict]:
+                       out_res: int = 224,
+                       smooth_bboxes: bool = True,
+                       smooth: bool = False,
+                       smooth_min_cutoff: float = 0.004,
+                       smooth_beta: float = 0.7) -> Dict[int, dict]:
     """Per-tracklet VIBE inference -> vibe_output-format dict.
 
     frames: list of (H, W, 3) uint8 images. Mirrors demo2.py's structure:
-    crop each tracked frame, run features+GRU+regressor, pack results.
+    median+gaussian bbox smoothing (smooth_bbox.py), crop each tracked
+    frame, run features+GRU+regressor, optional One-Euro pose smoothing
+    (--smooth, demo2.py:252-258), pack results with joints2d converted to
+    image coordinates (demo_utils.py:262-275).
     """
     import jax.numpy as jnp
     from ..models.vibe import vibe_forward
     from .crops import get_single_image_crop
+    from .smoothing import smooth_bbox_params, smooth_pose_sequence
 
     out: Dict[int, dict] = {}
     for tid, tr in tracks.items():
         if len(tr["frame_ids"]) < min_track_len:
             continue
+        bbox_cs = np.stack([bbox_to_cs(b) for b in tr["bboxes"]])
+        if smooth_bboxes:
+            bbox_cs = smooth_bbox_params(bbox_cs)
         crops = np.stack([
-            get_single_image_crop(frames[f], bbox_to_cs(b), out_res=out_res)
-            for f, b in zip(tr["frame_ids"], tr["bboxes"])])
+            get_single_image_crop(frames[f], cs, out_res=out_res)
+            for f, cs in zip(tr["frame_ids"], bbox_cs)])
         results = {"theta": [], "kp_2d": []}
         for s in range(0, len(crops), batch_time):
             chunk = jnp.asarray(crops[s:s + batch_time])[None]
@@ -105,12 +116,141 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
             results["theta"].append(np.asarray(res["theta"][0]))
             results["kp_2d"].append(np.asarray(res["kp_2d"][0]))
         theta = np.concatenate(results["theta"])
+        pose = theta[:, 3:75]
+        if smooth:
+            pose = smooth_pose_sequence(pose, smooth_min_cutoff, smooth_beta)
+        kp_norm = np.concatenate(results["kp_2d"])
         out[tid] = {
-            "pose": theta[:, 3:75],
+            "pose": pose,
             "betas": theta[:, 75:],
             "orig_cam": theta[:, :3],
-            "joints2d_img_coord": np.concatenate(results["kp_2d"]),
+            "joints2d_img_coord": crop_to_image_coords(bbox_cs, kp_norm,
+                                                       out_res),
             "frame_ids": tr["frame_ids"],
             "bboxes": tr["bboxes"],
         }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SORT-style tracking: constant-velocity Kalman filter + Hungarian matching
+# (the reference's MPT tracker is YOLO + SORT; demo2.py:117)
+# ---------------------------------------------------------------------------
+
+def _bbox_to_z(bbox: np.ndarray) -> np.ndarray:
+    """[x0,y0,x1,y1] -> observation [cx, cy, area, aspect]."""
+    w = bbox[2] - bbox[0]
+    h = bbox[3] - bbox[1]
+    return np.array([bbox[0] + w / 2, bbox[1] + h / 2, w * h,
+                     w / max(h, 1e-9)], np.float64)
+
+
+def _z_to_bbox(z: np.ndarray) -> np.ndarray:
+    w = np.sqrt(max(z[2], 1e-9) * max(z[3], 1e-9))
+    h = max(z[2], 1e-9) / w
+    return np.array([z[0] - w / 2, z[1] - h / 2, z[0] + w / 2, z[1] + h / 2],
+                    np.float32)
+
+
+class KalmanBoxTracker:
+    """Constant-velocity Kalman filter over [cx, cy, area, aspect] + their
+    velocities (aspect held constant) — the SORT motion model."""
+
+    _DIM_X, _DIM_Z = 7, 4
+
+    def __init__(self, bbox: np.ndarray):
+        dx, dz = self._DIM_X, self._DIM_Z
+        self.F = np.eye(dx)
+        for i in range(3):
+            self.F[i, dz + i] = 1.0          # position += velocity
+        self.H = np.zeros((dz, dx))
+        self.H[:dz, :dz] = np.eye(dz)
+        self.R = np.diag([1.0, 1.0, 10.0, 10.0])
+        self.P = np.diag([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4])
+        self.Q = np.diag([1.0, 1.0, 1.0, 1.0, 0.01, 0.01, 1e-4])
+        self.x = np.zeros(dx)
+        self.x[:dz] = _bbox_to_z(bbox)
+        self.age = 0          # frames since last match
+        self.hits = 0
+
+    def predict(self) -> np.ndarray:
+        # keep predicted area non-negative: zero the area velocity first
+        if self.x[2] + self.x[6] <= 0:
+            self.x[6] = 0.0
+        self.x = self.F @ self.x
+        self.P = self.F @ self.P @ self.F.T + self.Q
+        self.age += 1
+        return _z_to_bbox(self.x[:4])
+
+    def update(self, bbox: np.ndarray) -> None:
+        z = _bbox_to_z(bbox)
+        y = z - self.H @ self.x
+        S = self.H @ self.P @ self.H.T + self.R
+        K = self.P @ self.H.T @ np.linalg.inv(S)
+        self.x = self.x + K @ y
+        self.P = (np.eye(self._DIM_X) - K @ self.H) @ self.P
+        self.age = 0
+        self.hits += 1
+
+
+def track_bboxes_sort(detections: Sequence[np.ndarray],
+                      iou_threshold: float = 0.3, max_age: int = 10,
+                      min_hits: int = 1) -> Dict[int, Dict[str, np.ndarray]]:
+    """Kalman + Hungarian multi-object tracker (SORT association model).
+
+    Unlike the greedy tracker above, each track carries a motion model, so
+    crossing or briefly-occluded people keep their identities — matching
+    the behavior of the reference's MPT (YOLO + SORT) stage.
+    Returns {track_id: {'bboxes': (T, 4), 'frame_ids': (T,)}} like
+    track_bboxes.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    next_id = 0
+    active: Dict[int, KalmanBoxTracker] = {}
+    tracks: Dict[int, dict] = {}
+    for f, boxes in enumerate(detections):
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        preds = {tid: kf.predict() for tid, kf in active.items()}
+        tids = list(preds)
+        matched_dets: set = set()
+        if tids and len(boxes):
+            iou_m = np.array([[iou(preds[tid], b) for b in boxes]
+                              for tid in tids])
+            rows, cols = linear_sum_assignment(-iou_m)
+            for r, c in zip(rows, cols):
+                if iou_m[r, c] < iou_threshold:
+                    continue
+                tid = tids[r]
+                active[tid].update(boxes[c])
+                tracks[tid]["bboxes"].append(boxes[c])
+                tracks[tid]["frame_ids"].append(f)
+                matched_dets.add(c)
+        for tid in list(active):
+            if active[tid].age > max_age:
+                del active[tid]
+        for j in range(len(boxes)):
+            if j in matched_dets:
+                continue
+            active[next_id] = KalmanBoxTracker(boxes[j])
+            tracks[next_id] = {"bboxes": [boxes[j]], "frame_ids": [f]}
+            next_id += 1
+    return {tid: {"bboxes": np.stack(t["bboxes"]),
+                  "frame_ids": np.asarray(t["frame_ids"])}
+            for tid, t in tracks.items()
+            if len(t["frame_ids"]) >= min_hits}
+
+
+def crop_to_image_coords(bbox_cs: np.ndarray, kp_norm: np.ndarray,
+                         crop_size: float = 224.0) -> np.ndarray:
+    """[-1, 1] crop keypoints -> original image coordinates.
+
+    demo_utils.py:262-275 with the [cx, cy, size] square-crop spec of
+    bbox_to_cs: x_img = (cx - size/2) + size * (x_norm + 1) / 2.
+    """
+    cx, cy, h = bbox_cs[..., 0], bbox_cs[..., 1], bbox_cs[..., 2]
+    kp = 0.5 * (kp_norm + 1.0) * h[..., None, None]
+    out = kp.copy()
+    out[..., 0] += (cx - h / 2)[..., None]
+    out[..., 1] += (cy - h / 2)[..., None]
     return out

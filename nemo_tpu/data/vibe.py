@@ -84,3 +84,55 @@ def vibe_to_theta(person: Dict[str, np.ndarray]) -> np.ndarray:
     pose = person["pose"]          # (F, 72) full axis-angle incl. orient
     mask = person["mask"][:, None]
     return np.concatenate([pose[:, 3:], mask], axis=1)
+
+
+def load_baseline_pickle(path: str, max_frames: int, kind: str,
+                         gt_2d: Optional[np.ndarray] = None
+                         ) -> Optional[np.ndarray]:
+    """A 3D-baseline pickle -> (F, 70) theta+mask for eval_3d columns.
+
+    The reference's commented-out loader slots
+    (multi_view_sequence.py:336-392):
+      * 'vs'    — VIBE+SMPLify: vibe_output.pkl layout, last person entry
+      * 'pare'  — PARE: vibe-like dict but 'pose' holds rotation MATRICES
+                  (F, 24, 3, 3), converted to axis-angle (:360-366)
+      * 'glamr' — GLAMR grecon pkl: {'person_data': [{'smpl_pose' (F, 69),
+                  'smpl_orient_cam', 'root_trans_cam', ...}]} (:378-392)
+    """
+    import joblib
+
+    data = joblib.load(path)
+    if kind == "glamr":
+        pd_ = data["person_data"][0]
+        pose = np.asarray(pd_["smpl_pose"], np.float32)[:max_frames]
+        if pose.shape[1] == 72:
+            pose = pose[:, 3:]
+        mask = np.ones((pose.shape[0], 1), np.float32)
+        out = np.concatenate([pose, mask], axis=1)
+    else:
+        person = None
+        if kind == "vs":
+            # the reference indexes the LAST tracklet (:343 vs_output[-1])
+            key = sorted(data.keys())[-1]
+            person = densify_person(data[key], max_frames)
+        else:  # pare
+            person = (select_person_near_gt(
+                {k: densify_person(v, max_frames) for k, v in data.items()},
+                gt_2d) if gt_2d is not None else
+                densify_person(data[sorted(data.keys())[0]], max_frames))
+        if person is None:
+            return None
+        pose = np.asarray(person["pose"], np.float32)
+        if pose.ndim >= 3 or pose.shape[-1] == 24 * 9:
+            # PARE stores rotmats; convert through the same quaternion path
+            from ..geometry.rotations import rotmat_to_aa
+            import jax.numpy as jnp
+            R = pose.reshape(max_frames, 24, 3, 3)
+            pose = np.asarray(rotmat_to_aa(jnp.asarray(R))).reshape(
+                max_frames, 72)
+        mask = person["mask"].reshape(-1, 1).astype(np.float32)
+        out = np.concatenate([pose[:, 3:], mask], axis=1)
+    if out.shape[0] < max_frames:
+        pad = np.zeros((max_frames - out.shape[0], 70), np.float32)
+        out = np.concatenate([out, pad], axis=0)
+    return out

@@ -74,6 +74,7 @@ def eval_3d(model: SMPLModel,
             baseline_masks: Optional[Dict[str, np.ndarray]] = None,
             dynamic_only: bool = False,
             framerate_multiplier: Optional[np.ndarray] = None,
+            pa: bool = True,
             ) -> Dict[str, list]:
     """Per-view MPJPE/MPVPE table (eval_3d :1056-1282).
 
@@ -83,6 +84,9 @@ def eval_3d(model: SMPLModel,
         identity global orient, exactly like the reference.
       baselines: optional {name: (V, F, 69)} body poses (vibe/vs/pare/glamr).
       dynamic_only: restrict frames to the GT high-velocity span.
+      pa: also emit pa_mpjpe-* columns (Procrustes-aligned,
+        reconstruction_error pa=True — the BASELINE.md north-star metric; a
+        superset of the reference's CSV columns).
     Returns:
       {column: [per-view values]} with the reference's column names.
     """
@@ -116,6 +120,10 @@ def eval_3d(model: SMPLModel,
                                                    j_cmp[v][sel], pa=False)
             stats.setdefault(f"mpjpe-{name}", []).append(float(mpjpe))
             stats.setdefault(f"mpvpe-{name}", []).append(float(mpvpe))
+            if pa:
+                pj = 1000 * reconstruction_error_np(j_gt[v][sel],
+                                                    j_cmp[v][sel], pa=True)
+                stats.setdefault(f"pa_mpjpe-{name}", []).append(float(pj))
 
     add("ours", v_pred, j_pred)
     for k, (vb, jb) in base_grids.items():

@@ -28,7 +28,8 @@ from ..body import constants as body_constants
 from ..body.smpl import SMPLModel, smpl_forward
 from ..geometry.camera import (FOCAL_LENGTH, camera_from_params,
                                init_camera_params, perspective_projection)
-from ..geometry.rotations import batch_rodrigues, rot6d_to_rotmat
+from ..geometry.rotations import (batch_rodrigues, rot6d_to_rotmat,
+                                  rotmat_to_aa)
 from ..modules.networks import (apply_monotonic_gather, apply_motion_net,
                                 apply_rbf, init_monotonic, init_motion_net,
                                 init_rbf)
@@ -74,6 +75,10 @@ class NemoConfig:
     vp_v2v_n_verts: int = 0
     weight_instance_loss: float = 0.0
     weight_3d_loss: float = 0.0
+    # HuMoR dynamics prior on consecutive-frame transitions (the custom
+    # entry's --weight_humor_loss; neural_motion_model_jeff.py:2913-2937)
+    weight_humor_loss: float = 0.0
+    humor_fps: float = 30.0
     code_noise: float = 0.0
     # schedule
     batch_size: int = 512
@@ -81,6 +86,8 @@ class NemoConfig:
     warmup_step: int = 300
     opt_cam_step: int = 1000
     label_type: str = "op"
+    # 'intersection' label agreement gate in pixels (collate_gt_2d :2939)
+    label_intersection_threshold: float = 30.0
     focal_length: float = FOCAL_LENGTH
 
     @property
@@ -121,6 +128,9 @@ class NemoAssets:
     v2v_vidx: Optional[jnp.ndarray] = None      # (n,) int32 vertex ids
     v2v_pd_tiles: Optional[jnp.ndarray] = None  # tile_tables of the subset
     v2v_w_tiles: Optional[jnp.ndarray] = None
+    # optional frozen HuMoR motion prior (cfg.weight_humor_loss > 0):
+    humor: Optional[Dict[str, Any]] = None      # params pytree
+    humor_cfg: Optional[Any] = None             # HumorConfig (static)
 
     @property
     def num_views(self) -> int:
@@ -135,11 +145,13 @@ jax.tree_util.register_pytree_node(
     NemoAssets,
     lambda a: ((a.smpl, a.gmm, a.vposer, a.points2d_gt, a.bbox_diag,
                 a.hmr_theta, a.hmr_mask, a.v2v_vidx, a.v2v_pd_tiles,
-                a.v2v_w_tiles), (a.img_d0, a.img_d1)),
+                a.v2v_w_tiles, a.humor),
+               (a.img_d0, a.img_d1, a.humor_cfg)),
     lambda aux, c: NemoAssets(c[0], c[1], c[2], c[3], c[4], c[5], c[6],
                               img_d0=aux[0], img_d1=aux[1],
                               v2v_vidx=c[7], v2v_pd_tiles=c[8],
-                              v2v_w_tiles=c[9]),
+                              v2v_w_tiles=c[9], humor=c[10],
+                              humor_cfg=aux[2]),
 )
 
 
@@ -218,7 +230,8 @@ def predict(params: Params, cfg: NemoConfig, assets: NemoAssets,
             view_idx: jnp.ndarray, frame_idx: jnp.ndarray,
             key=None, want_vertices: bool = False,
             detach_pose: bool = False, add_trans: bool = True,
-            phases: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+            phases: Optional[jnp.ndarray] = None,
+            want_fk_joints: bool = False) -> Dict[str, jnp.ndarray]:
     """Full forward: phase warp -> motion MLP -> SMPL FK (+translation).
 
     Vectorized equivalent of get_preds_batch + get_preds_given_phases_and_view
@@ -250,14 +263,20 @@ def predict(params: Params, cfg: NemoConfig, assets: NemoAssets,
         body_rotmat = jax.lax.stop_gradient(body_rotmat)
     orient_rotmat = rot6d_to_rotmat(orient_d["rot6d"])[:, None]
 
-    verts, joints49 = smpl_forward(
+    smpl_out = smpl_forward(
         assets.smpl, params["betas"], body_rotmat, orient_rotmat,
-        want_vertices=want_vertices)
+        want_vertices=want_vertices, want_fk_joints=want_fk_joints)
+    if want_fk_joints:
+        verts, joints49, fk_joints = smpl_out
+    else:
+        (verts, joints49), fk_joints = smpl_out, None
 
     if add_trans:
         joints49 = joints49 + trans[:, None, :]
         if verts is not None:
             verts = verts + trans[:, None, :]
+        if fk_joints is not None:
+            fk_joints = fk_joints + trans[:, None, :]
 
     out = {
         "j": joints49[:, cfg.proj_joint_idx],
@@ -271,6 +290,9 @@ def predict(params: Params, cfg: NemoConfig, assets: NemoAssets,
     }
     if verts is not None:
         out["v"] = verts
+    if fk_joints is not None:
+        out["fk_joints"] = fk_joints
+        out["orient_rotmat"] = orient_rotmat[:, 0]
     return out
 
 
@@ -350,6 +372,58 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     return v2v, kl
 
 
+def humor_dynamics_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
+                        view_idx: jnp.ndarray, frame_idx: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """HuMoR dynamics prior: KL of consecutive-frame motion transitions
+    under the frozen conditional prior.
+
+    The custom entry's --weight_humor_loss term
+    (scripts/learned_multi_view_recon_nn_custom.py flags;
+    neural_motion_model_jeff.py:2913-2937): infer the posterior latent for
+    each transition of the predicted motion and penalize its divergence from
+    the HuMoR conditional prior. The reference runs MotionOptimizer's
+    infer_latent_motion/rollout over the full sequence; the scan-friendly
+    equivalent evaluates the batch's frames as (f-1, f, f+1) windows — each
+    window yields two velocity-complete HuMoR states (finite differences at
+    cfg.humor_fps, matching estimate_velocities) and one transition KL.
+    """
+    from ..models.humor import STATE_DIM, humor_infer_seq
+
+    fps = cfg.humor_fps
+    F = assets.num_frames
+    B = view_idx.shape[0]
+    fc = jnp.clip(frame_idx, 1, F - 2)
+    vi3 = jnp.concatenate([view_idx] * 3)
+    fi3 = jnp.concatenate([fc - 1, fc, fc + 1])
+    preds = predict(params, cfg, assets, vi3, fi3, want_vertices=False,
+                    want_fk_joints=True)
+
+    def split3(x):
+        return x[:B], x[B:2 * B], x[2 * B:]
+
+    trans = split3(preds["trans"])
+    orient_R = split3(preds["orient_rotmat"])          # 3 x (B, 3, 3)
+    orient_aa = split3(preds["orient_aa"])
+    poses = split3(preds["poses"])
+    joints = split3(preds["fk_joints"][:, :22].reshape(3 * B, 66))
+
+    def state(i):
+        """HuMoR 'smpl+joints' state at window position i (needs i-1)."""
+        trans_vel = (trans[i] - trans[i - 1]) * fps
+        dR = jnp.einsum("bij,bkj->bik", orient_R[i], orient_R[i - 1],
+                        precision=jax.lax.Precision.HIGHEST)
+        root_orient_vel = rotmat_to_aa(dR) * fps
+        joints_vel = (joints[i] - joints[i - 1]) * fps
+        return jnp.concatenate([
+            trans[i], trans_vel, orient_aa[i], root_orient_vel,
+            poses[i][:, :63], joints[i], joints_vel], axis=-1)
+
+    states = jnp.stack([state(1), state(2)], axis=1)   # (B, 2, STATE_DIM)
+    assert states.shape[-1] == STATE_DIM
+    return humor_infer_seq(assets.humor, assets.humor_cfg, states)["kl"].mean()
+
+
 def fit_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
              view_idx: jnp.ndarray, frame_idx: jnp.ndarray,
              key=None, training: bool = True, detach_pose: bool = False,
@@ -405,6 +479,12 @@ def fit_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
             metrics["gmm_loss"] = g
             if cfg.weight_gmm_loss:
                 loss = loss + cfg.weight_gmm_loss * g
+
+        if cfg.weight_humor_loss and assets.humor is not None:
+            hl = humor_dynamics_loss(params, cfg, assets, view_idx,
+                                     frame_idx)
+            metrics["humor_loss"] = hl
+            loss = loss + cfg.weight_humor_loss * hl
 
     if include_3d and cfg.weight_3d_loss and cfg.model_version >= 3:
         theta = assets.hmr_theta[view_idx, frame_idx]

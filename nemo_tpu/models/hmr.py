@@ -80,6 +80,24 @@ def weak_perspective_projection(joints: jnp.ndarray, cam: jnp.ndarray
     return s * joints[..., :2] + t
 
 
+def spin_projection(joints: jnp.ndarray, cam: jnp.ndarray,
+                    focal_length: float = 5000.0,
+                    img_res: float = 224.0) -> jnp.ndarray:
+    """SPIN's kp_2d: weak-persp cam -> perspective projection, normalized.
+
+    VIBE/lib/models/spin.py:309-322: the (s, tx, ty) camera becomes a
+    translation t = (tx, ty, 2f / (res * s + 1e-9)); joints project through
+    an identity-rotation perspective camera centered at 0 and are divided by
+    res/2, landing in [-1, 1] crop coordinates. This is the exact transform
+    behind the joints2d in reference vibe_output.pkl files.
+    """
+    tz = 2.0 * focal_length / (img_res * cam[:, 0] + 1e-9)
+    t = jnp.stack([cam[:, 1], cam[:, 2], tz], axis=-1)       # (B, 3)
+    pts = joints + t[:, None, :]
+    xy = pts[..., :2] / pts[..., 2:3]
+    return focal_length * xy / (img_res / 2.0)
+
+
 def hmr_forward(backbone: Params, head: Params, smpl: SMPLModel,
                 images_nhwc: jnp.ndarray, n_iter: int = 3
                 ) -> Dict[str, jnp.ndarray]:

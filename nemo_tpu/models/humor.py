@@ -233,13 +233,15 @@ def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
             z = pm + jax.random.normal(k, pm.shape) * jnp.sqrt(pv)
         pred, contacts = humor_decode(p, cfg, z, past)
         out = (pred, z, contacts if contacts is not None
-               else jnp.zeros((B, 0)))
+               else jnp.zeros((B, 0)), pm, pv)
         return pred, out
 
-    _, (states, z_out, contacts) = jax.lax.scan(step, x0, (keys, zs))
+    _, (states, z_out, contacts, pm, pv) = jax.lax.scan(step, x0, (keys, zs))
     return {"states": jnp.swapaxes(states, 0, 1),
             "z": jnp.swapaxes(z_out, 0, 1),
-            "contacts": jnp.swapaxes(contacts, 0, 1)}
+            "contacts": jnp.swapaxes(contacts, 0, 1),
+            "prior_mean": jnp.swapaxes(pm, 0, 1),
+            "prior_var": jnp.swapaxes(pv, 0, 1)}
 
 
 def humor_infer_seq(p: Params, cfg: HumorConfig, states: jnp.ndarray
@@ -263,6 +265,52 @@ def humor_infer_seq(p: Params, cfg: HumorConfig, states: jnp.ndarray
             "prior_mean": pm.reshape(shape + (-1,)),
             "prior_var": pv.reshape(shape + (-1,)),
             "kl": kl_per.reshape(shape)}
+
+
+def convert_humor_state_dict(sd: dict, cfg: HumorConfig = HumorConfig()
+                             ) -> Params:
+    """Convert a torch HuMoR state dict (numpy- or tensor-valued) to our
+    layout.
+
+    The reference MLP (humor_model.py:1209-1244) is a ModuleList
+    [Linear, (GroupNorm, ReLU, Linear)*]: the k-th Linear sits at index 3k
+    and the GroupNorm before it at 3k-2. Module names: encoder / decoder /
+    prior_net (humor_model.py:182-208). Linear weights transpose from
+    torch's (out, in).
+    """
+    def get(k):
+        for prefix in ("", "module."):
+            if prefix + k in sd:
+                v = sd[prefix + k]
+                return np.asarray(v.detach().cpu().numpy()
+                                  if hasattr(v, "detach") else v)
+        raise KeyError(k)
+
+    def mlp(name, n_linear):
+        p: Params = {}
+        for k in range(n_linear):
+            p[f"w{k}"] = jnp.asarray(get(f"{name}.net.{3 * k}.weight").T)
+            p[f"b{k}"] = jnp.asarray(get(f"{name}.net.{3 * k}.bias"))
+            if k >= 1:
+                p[f"gn{k}_g"] = jnp.asarray(
+                    get(f"{name}.net.{3 * k - 2}.weight"))
+                p[f"gn{k}_b"] = jnp.asarray(
+                    get(f"{name}.net.{3 * k - 2}.bias"))
+        return p
+
+    out = {"encoder": mlp("encoder", 5), "decoder": mlp("decoder", 4)}
+    if cfg.conditional_prior:
+        out["prior"] = mlp("prior_net", 5)
+    return out
+
+
+def load_humor(path: str, cfg: HumorConfig = HumorConfig()) -> Params:
+    """Load a HuMoR checkpoint file ({'model': state_dict, ...} per
+    humor/utils/torch.py:29-41, possibly DataParallel-prefixed)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return convert_humor_state_dict(sd, cfg)
 
 
 def humor_transition_prior_loss(p: Params, cfg: HumorConfig,

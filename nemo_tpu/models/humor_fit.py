@@ -33,24 +33,48 @@ from .humor import (HumorConfig, Params, STATE_DIM, humor_roll_out,
 
 @dataclasses.dataclass(frozen=True)
 class MotionOptConfig:
+    """Stage schedule + loss weights (defaults from the reference's
+    fit_rgb_demo_no_split.cfg stage-3 column)."""
     steps_stage1: int = 30
     steps_stage2: int = 80
     steps_stage3: int = 70
     lr: float = 1e-2
     rho: float = 100.0
     smooth_weight: float = 100.0
-    motion_prior_weight: float = 1e-2
+    motion_prior_weight: float = 0.075
     joint_consistency_weight: float = 100.0
+    shape_prior_weight: float = 0.05       # betas L2 (fitting_loss.py:444-448)
+    bone_length_weight: float = 2000.0     # (:436-442)
+    contact_vel_weight: float = 100.0      # (:450-458)
+    contact_height_weight: float = 10.0    # (:460-469)
+    floor_reg_weight: float = 0.167        # (:471-485)
+    contact_height_thresh: float = 0.08    # CONTACT_HEIGHT_THRESH (:18)
+    optimize_camera: bool = False          # learn cam rotation + translation
 
 
-def _reproj_loss(joints3d, cam_t, cam_center, focal, kp2d, rho):
+# SMPL joints predicted as contacts by HuMoR: hips, knees, ankles, toes,
+# hands (amass_utils.py:22-23 CONTACT_ORDERING -> SMPL joint ids)
+CONTACT_INDS = (0, 4, 5, 7, 8, 10, 11, 20, 21)
+
+
+def _reproj_loss(joints3d, cam_t, cam_center, focal, kp2d, rho,
+                 cam_R=None):
     B = joints3d.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
-    proj = perspective_projection(joints3d, eye,
+    if cam_R is None:
+        cam_R = jnp.eye(3)
+    cam_R = jnp.broadcast_to(cam_R, (B, 3, 3))
+    proj = perspective_projection(joints3d, cam_R,
                                   jnp.broadcast_to(cam_t, (B, 3)),
                                   focal, jnp.broadcast_to(cam_center, (B, 2)))
     conf = kp2d[..., 2:]
     return (conf * gmof(proj - kp2d[..., :2], rho=rho)).sum(-1).mean()
+
+
+def _floor_height(points: jnp.ndarray, floor: jnp.ndarray) -> jnp.ndarray:
+    """Signed distance of (..., 3) points above the plane encoded as
+    normal*offset (fitting_loss.py floor convention :471-485)."""
+    norm = jnp.sqrt((floor ** 2).sum() + 1e-12)
+    return (points @ floor) / norm - norm
 
 
 def _run_adam(loss_fn, params0, steps, lr):
@@ -90,46 +114,69 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         key = jax.random.PRNGKey(0)
     proj_idx = jnp.arange(25)
 
-    def joints_of(pose72, trans):
+    def joints_of(pose72, trans, betas=None):
         rot = batch_rodrigues(pose72.reshape(T, 24, 3))
-        _, j = smpl_forward(smpl, jnp.zeros((1, 10)), rot[:, 1:], rot[:, :1],
+        b = jnp.zeros((1, 10)) if betas is None else betas.reshape(1, 10)
+        _, j = smpl_forward(smpl, b, rot[:, 1:], rot[:, :1],
                             want_vertices=False, transl=trans)
         return j[:, proj_idx]
 
-    # ---- stage 1: root orient + trans ----
+    # ---- stage 1: root orient + trans (+ optional camera) ----
+    from ..geometry.rotations import rot6d_to_rotmat
     s1_0 = {"orient": init_pose[:, :3], "trans": jnp.zeros((T, 3))}
+    if cfg.optimize_camera:
+        s1_0["cam_rot6d"] = jnp.array([1., 0., 0., 1., 0., 0.])
+        s1_0["cam_t"] = jnp.asarray(cam_t)
+
+    def cam_of(p):
+        if cfg.optimize_camera:
+            return rot6d_to_rotmat(p["cam_rot6d"]), p["cam_t"]
+        return None, cam_t
 
     def s1_loss(p):
         pose = jnp.concatenate([p["orient"], init_pose[:, 3:]], axis=1)
         j = joints_of(pose, p["trans"])
-        return _reproj_loss(j, cam_t, cam_center, focal_length, kp2d, cfg.rho)
+        R, t = cam_of(p)
+        return _reproj_loss(j, t, cam_center, focal_length, kp2d, cfg.rho,
+                            cam_R=R)
 
     s1, l1 = _run_adam(s1_loss, s1_0, cfg.steps_stage1, cfg.lr)
+    cam_R_fit, cam_t_fit = cam_of(s1)
 
-    # ---- stage 2: full pose sequence + smoothness ----
+    # ---- stage 2: full pose sequence + betas + smoothness ----
+    # (motion_optimizer.py:275-283 optimizes trans/root_orient/betas/pose
+    # with shape prior + joints3d smoothness)
     s2_0 = {"pose": jnp.concatenate([s1["orient"], init_pose[:, 3:]], axis=1),
-            "trans": s1["trans"]}
+            "trans": s1["trans"], "betas": jnp.zeros(10)}
 
     def s2_loss(p):
-        j = joints_of(p["pose"], p["trans"])
-        data = _reproj_loss(j, cam_t, cam_center, focal_length, kp2d, cfg.rho)
+        j = joints_of(p["pose"], p["trans"], p["betas"])
+        data = _reproj_loss(j, cam_t_fit, cam_center, focal_length, kp2d,
+                            cfg.rho, cam_R=cam_R_fit)
         smooth = ((p["pose"][1:] - p["pose"][:-1]) ** 2).mean() + \
                  ((p["trans"][1:] - p["trans"][:-1]) ** 2).mean()
-        return data + cfg.smooth_weight * smooth
+        shape_prior = (p["betas"] ** 2).sum()
+        return (data + cfg.smooth_weight * smooth
+                + cfg.shape_prior_weight * shape_prior)
 
     s2, l2 = _run_adam(s2_loss, s2_0, cfg.steps_stage2, cfg.lr)
+    betas_fit = s2["betas"]
 
     # ---- stage 3: latent-space motion (initial state + z sequence) ----
-    # Build the initial HuMoR state from the stage-2 result.
+    # Build the initial HuMoR state from the stage-2 result; joints are the
+    # true FK joints (SMPL tree order, world frame), like the reference's
+    # body-model joints.
+    def fk22(pose72, trans, betas):
+        rot = batch_rodrigues(pose72.reshape(-1, 24, 3))
+        _, _, jf = smpl_forward(smpl, betas.reshape(1, 10), rot[:, 1:],
+                                rot[:, :1], want_vertices=False,
+                                transl=trans.reshape(-1, 3),
+                                want_fk_joints=True)
+        return jf[:, :22]
+
     def state_from(pose72, trans, prev_pose72, prev_trans):
-        rot = batch_rodrigues(pose72.reshape(1, 24, 3))
-        _, j = smpl_forward(smpl, jnp.zeros((1, 10)), rot[:, 1:], rot[:, :1],
-                            want_vertices=False, transl=trans[None])
-        j22 = j[0, :22].reshape(-1)
-        prev_rot = batch_rodrigues(prev_pose72.reshape(1, 24, 3))
-        _, jp = smpl_forward(smpl, jnp.zeros((1, 10)), prev_rot[:, 1:],
-                             prev_rot[:, :1], want_vertices=False,
-                             transl=prev_trans[None])
+        j22 = fk22(pose72, trans, betas_fit)[0].reshape(-1)
+        jp = fk22(prev_pose72, prev_trans, betas_fit)[0].reshape(-1)
         return pack_state({
             "trans": trans,
             "trans_vel": trans - prev_trans,
@@ -137,12 +184,24 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
             "root_orient_vel": pose72[:3] - prev_pose72[:3],
             "pose_body": pose72[3:66],
             "joints": j22,
-            "joints_vel": j22 - jp[0, :22].reshape(-1),
+            "joints_vel": j22 - jp,
         })
 
     x0 = state_from(s2["pose"][0], s2["trans"][0],
                     s2["pose"][0], s2["trans"][0])[None]
     s3_0 = {"x0": x0, "z": jnp.zeros((1, T - 1, humor_cfg.latent_size))}
+
+    # Floor plane (normal * offset, motion_optimizer.py:147-150): init from
+    # the lowest stage-2 contact-joint height along +z, optimized in stage 3
+    # when any floor/contact term is on.
+    cid = jnp.asarray(CONTACT_INDS)
+    j2 = fk22(s2["pose"], s2["trans"], betas_fit)       # (T, 22, 3)
+    floor0 = jnp.array([0.0, 0.0, 1.0]) * (
+        j2[:, cid, 2].min() + jnp.asarray(1e-3))
+    use_floor = (cfg.contact_height_weight > 0 or cfg.floor_reg_weight > 0
+                 ) and humor_cfg.pred_contacts
+    if use_floor:
+        s3_0["floor"] = floor0
 
     def decode_motion(p):
         out = humor_roll_out(humor_params, humor_cfg, p["x0"], T - 1,
@@ -151,26 +210,59 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         d = split_state(states)
         pose = jnp.concatenate(
             [d["root_orient"], d["pose_body"], jnp.zeros((T, 6))], axis=1)
-        return pose, d["trans"], states
+        return pose, d["trans"], states, out
 
     def s3_loss(p):
-        pose, trans, states = decode_motion(p)
-        j = joints_of(pose, trans)
-        data = _reproj_loss(j, cam_t, cam_center, focal_length, kp2d, cfg.rho)
-        prior = (p["z"] ** 2).mean()
-        # regressed-joint consistency: packed joints must match FK joints
-        rot = batch_rodrigues(pose.reshape(T, 24, 3))
-        _, j_fk = smpl_forward(smpl, jnp.zeros((1, 10)), rot[:, 1:],
-                               rot[:, :1], want_vertices=False, transl=trans)
+        pose, trans, states, out = decode_motion(p)
+        j = joints_of(pose, trans, betas_fit)
+        data = _reproj_loss(j, cam_t_fit, cam_center, focal_length, kp2d,
+                            cfg.rho, cam_R=cam_R_fit)
+        # motion prior: NLL of z under the rollout's conditional prior
+        # (fitting_loss.py:404-414 motion_prior_loss with cond_prior)
+        pm, pv = out["prior_mean"][0], out["prior_var"][0]
+        z = p["z"][0]
+        prior = (0.5 * (jnp.log(2 * jnp.pi * pv)
+                        + (z - pm) ** 2 / pv)).sum(-1).mean()
         d = split_state(states)
-        consist = ((d["joints"].reshape(T, 22, 3)
-                    - j_fk[:, :22]) ** 2).mean()
-        return (data + cfg.motion_prior_weight * prior
-                + cfg.joint_consistency_weight * consist)
+        roll_j = d["joints"].reshape(T, 22, 3)
+        # regressed-joint consistency (:431-434)
+        j_fk = fk22(pose, trans, betas_fit)
+        consist = ((roll_j - j_fk) ** 2).mean()
+        # bone lengths constant across frames (:436-442)
+        par = jnp.asarray(smpl.parents[1:22])
+        bl = jnp.sqrt(((roll_j[:, 1:22] - roll_j[:, par]) ** 2).sum(-1)
+                      + 1e-12)
+        bone = ((bl[1:] - bl[:-1]) ** 2).mean()
+        loss = (data + cfg.motion_prior_weight * prior
+                + cfg.joint_consistency_weight * consist
+                + cfg.bone_length_weight * bone)
+        if humor_cfg.pred_contacts and (cfg.contact_vel_weight > 0
+                                        or cfg.contact_height_weight > 0):
+            conf = jax.nn.sigmoid(out["contacts"][0])       # (T-1, 9)
+            cj = roll_j[:, cid]                              # (T, 9, 3)
+            # velocity ~ 0 at contacts (:450-458)
+            vel = ((cj[1:] - cj[:-1]) ** 2).sum(-1)
+            loss = loss + cfg.contact_vel_weight * (vel * conf).mean()
+            if use_floor:
+                # contacting joints near the floor (:460-469)
+                h = jnp.abs(_floor_height(cj[1:], p["floor"]))
+                pen = jax.nn.relu(h - cfg.contact_height_thresh)
+                loss = loss + cfg.contact_height_weight * (pen * conf).mean()
+                # floor stays near its initialization (:471-485)
+                loss = loss + cfg.floor_reg_weight * (
+                    (p["floor"] - floor0) ** 2).sum()
+        return loss
 
     s3, l3 = _run_adam(s3_loss, s3_0, cfg.steps_stage3, cfg.lr)
-    pose, trans, _ = decode_motion(s3)
+    pose, trans, _, _ = decode_motion(s3)
 
-    return {"pose": pose, "trans": trans, "z": s3["z"][0],
-            "stage1_loss": l1, "stage2_loss": l2, "stage3_loss": l3,
-            "stage2_pose": s2["pose"], "stage2_trans": s2["trans"]}
+    out = {"pose": pose, "trans": trans, "z": s3["z"][0],
+           "betas": betas_fit,
+           "stage1_loss": l1, "stage2_loss": l2, "stage3_loss": l3,
+           "stage2_pose": s2["pose"], "stage2_trans": s2["trans"]}
+    if use_floor:
+        out["floor"] = s3["floor"]
+    if cfg.optimize_camera:
+        out["cam_R"] = cam_R_fit
+        out["cam_t"] = cam_t_fit
+    return out

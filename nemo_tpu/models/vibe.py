@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..body.smpl import SMPLModel
-from .hmr import hmr_head, hmr_forward, weak_perspective_projection, NPOSE
+from .hmr import (hmr_head, hmr_forward, spin_projection,
+                  weak_perspective_projection, NPOSE)
 from .resnet import Params, resnet50_features
 
 
@@ -99,8 +100,10 @@ def hmr_forward_from_features(head: Params, smpl: SMPLModel,
     verts, joints = smpl_forward(smpl, shape, rotmat[:, 1:], rotmat[:, :1])
     pose_aa = rotmat_to_aa(rotmat).reshape(-1, 72)
     theta = jnp.concatenate([cam, pose_aa, shape], axis=1)
+    # kp_2d through SPIN's weak-persp->perspective conversion
+    # (spin.py:309-322), matching reference vibe_output joints2d exactly
     return {"theta": theta, "verts": verts, "kp_3d": joints,
-            "kp_2d": weak_perspective_projection(joints, cam)}
+            "kp_2d": spin_projection(joints, cam)}
 
 
 def convert_torch_gru(sd: dict, prefix: str = "encoder.gru.") -> Params:

@@ -3,15 +3,17 @@
 from .keypoints import (OP25_EDGES, draw_skeleton, render_eval_grid,
                         render_keypoint_rollout, render_loss_curves,
                         render_phase_plot)
-from .mesh import (combine_meshes, raster_render, rasterize_triangles,
-                   render_mesh_overlay, splat_render, upsample_faces,
+from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
+                   raster_render, rasterize_triangles, render_mesh_overlay,
+                   render_pretty, splat_render, upsample_faces,
                    vertex_normals)
 from .video import render_overlay_video
 
 __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "render_keypoint_rollout",
            "render_loss_curves", "render_phase_plot",
-           "combine_meshes", "raster_render", "rasterize_triangles",
-           "render_mesh_overlay", "splat_render", "upsample_faces",
+           "blue_spectrum", "checkerboard_plane", "combine_meshes",
+           "raster_render", "rasterize_triangles", "render_mesh_overlay",
+           "render_pretty", "splat_render", "upsample_faces",
            "vertex_normals",
            "render_overlay_video"]

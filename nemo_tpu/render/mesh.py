@@ -267,3 +267,97 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     out = (np.asarray(img) * np.asarray(mask)[..., None] * alpha
            + np.asarray(image) * (1 - alpha * np.asarray(mask)[..., None]))
     return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# pretty-renderer extras: checkerboard ground plane + person color spectra
+# (pretty_renderer.py:11-41, 90-110)
+# ---------------------------------------------------------------------------
+
+def blue_spectrum(n: int) -> np.ndarray:
+    """(n, 3) float [0,1] colors: fixed dim R/G, blue ramp 90->255
+    (pretty_renderer.py:11-16)."""
+    R = np.full(n, 60.0)
+    G = np.full(n, 60.0)
+    interval = (255.0 - 90.0) / max(n, 1)
+    B = 90.0 + interval * np.arange(n)
+    return np.stack([R, G, B], axis=1) / 255.0
+
+
+def checkerboard_plane(plane_width: float = 4.0, num_boxes: int = 9,
+                       y: float = 0.0):
+    """A flat checkerboard ground mesh in the x-z plane at height y.
+
+    Software-rasterizer equivalent of get_checkerboard_plane
+    (pretty_renderer.py:19-41): num_boxes^2 tiles alternating
+    white (220) / black (35). Returns (verts (N, 3), faces (F, 3) int,
+    colors (N, 3) float [0,1]) ready for raster_render.
+    """
+    pw = plane_width / num_boxes
+    white = np.array([220, 220, 220], np.float32) / 255.0
+    black = np.array([35, 35, 35], np.float32) / 255.0
+    verts, faces, colors = [], [], []
+    for i in range(num_boxes):
+        for j in range(num_boxes):
+            x0 = i * pw - plane_width / 2
+            z0 = j * pw - plane_width / 2
+            base = len(verts)
+            verts += [[x0, y, z0], [x0 + pw, y, z0],
+                      [x0 + pw, y, z0 + pw], [x0, y, z0 + pw]]
+            faces += [[base, base + 1, base + 2],
+                      [base, base + 2, base + 3]]
+            c = black if (i + j) % 2 == 0 else white
+            colors += [c] * 4
+    return (jnp.asarray(np.array(verts, np.float32)),
+            np.array(faces, np.int64),
+            jnp.asarray(np.stack(colors)))
+
+
+def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
+                  img_hw: Tuple[int, int],
+                  image: Optional[np.ndarray] = None,
+                  add_ground: bool = True,
+                  ground_width: float = 8.0,
+                  light_dir=(0.0, -0.4, -1.0),
+                  alpha: float = 1.0) -> np.ndarray:
+    """Multi-person 'pretty' render: blue-spectrum people over a
+    checkerboard ground plane, one z-buffer (pretty_renderer.py:44-137).
+
+    verts_list: list of (V, 3) CAMERA-frame vertex sets (the caller applies
+    any world->camera transform, like the reference's per-person extrinsics).
+    """
+    H, W = img_hw
+    spectrum = blue_spectrum(len(verts_list))
+    all_v, all_c, all_f = [], [], []
+    off = 0
+    l = jnp.asarray(light_dir)
+    l = l / jnp.linalg.norm(l)
+    faces = np.asarray(faces)
+    for i, v in enumerate(verts_list):
+        v = jnp.asarray(v)
+        n = vertex_normals(v, faces)
+        diffuse = jnp.clip(-(n @ l), 0.25, 1.0)[:, None]
+        all_v.append(v)
+        all_c.append(diffuse * jnp.asarray(spectrum[i]))
+        all_f.append(faces + off)
+        off += v.shape[0]
+    if add_ground and all_v:
+        floor_y = float(jnp.concatenate(all_v)[:, 1].max())  # +y down (cam)
+        gv, gf, gc = checkerboard_plane(ground_width, y=floor_y)
+        # place the plane at the people's depth
+        gz = float(jnp.concatenate(all_v)[:, 2].mean())
+        gv = gv + jnp.array([0.0, 0.0, gz])
+        all_v.append(gv)
+        all_c.append(gc)
+        all_f.append(np.asarray(gf) + off)
+    verts = jnp.concatenate(all_v)
+    colors = jnp.concatenate(all_c)
+    faces_all = np.concatenate(all_f)
+    cx, cy = float(camera.center[0]), float(camera.center[1])
+    img, mask = raster_render(verts, colors, faces_all,
+                              float(camera.focal_length), (cx, cy), (H, W))
+    if image is None:
+        image = np.ones((H, W, 3), np.float32)
+    m = np.asarray(mask)[..., None]
+    return (np.asarray(img) * m * alpha
+            + np.asarray(image) * (1 - alpha * m)).astype(np.float32)

@@ -67,6 +67,7 @@ class TestPreprocessCLI:
 
 
 class TestFitCLIUnit:
+    @pytest.mark.slow
     def test_end_to_end_tiny(self, raw_action, tmp_path):
         """preprocess -> fit -> outputs: the full user path at tiny scale."""
         from nemo_tpu.cli.preprocess import main as pre_main

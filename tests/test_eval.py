@@ -122,3 +122,70 @@ class TestEval3DGlobal:
         trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
         stats = eval_3d_global(model, pose, trans + 5.0, pose, trans)
         assert stats["g_mpjpe-ours"][0] < 1.0  # mm
+
+
+class TestEval3dPaColumns:
+    def test_pa_columns_in_eval_3d(self, model, rng):
+        """eval_3d now carries pa_mpjpe-* columns (BASELINE.md north star)."""
+        gt = 0.2 * rng.randn(1, 3, 72).astype(np.float32)
+        base = {"vibe": 0.2 * rng.randn(1, 3, 69).astype(np.float32)}
+        stats = eval_3d(model, gt[..., 3:], gt, baselines=base)
+        assert stats["pa_mpjpe-ours"][0] == pytest.approx(0.0, abs=1e-3)
+        assert "pa_mpjpe-vibe" in stats
+        # PA alignment can only reduce the error
+        assert stats["pa_mpjpe-vibe"][0] <= stats["mpjpe-vibe"][0] + 1e-6
+
+
+class TestBaselinePickles:
+    def test_glamr_pickle(self, tmp_path, rng):
+        import joblib
+        from nemo_tpu.data import load_baseline_pickle
+        pose = rng.randn(5, 69).astype(np.float32)
+        joblib.dump({"person_data": [{"smpl_pose": pose}]},
+                    str(tmp_path / "g.pkl"))
+        out = load_baseline_pickle(str(tmp_path / "g.pkl"), 5, "glamr")
+        assert out.shape == (5, 70)
+        np.testing.assert_allclose(out[:, :69], pose)
+        np.testing.assert_allclose(out[:, 69], 1.0)
+
+    def test_vs_pickle_vibe_layout(self, tmp_path, rng):
+        import joblib
+        from nemo_tpu.data import load_baseline_pickle
+        pose = rng.randn(4, 72).astype(np.float32)
+        person = {"pose": pose, "frame_ids": np.arange(4)}
+        joblib.dump({1: person}, str(tmp_path / "vs.pkl"))
+        out = load_baseline_pickle(str(tmp_path / "vs.pkl"), 4, "vs")
+        assert out.shape == (4, 70)
+        np.testing.assert_allclose(out[:, :69], pose[:, 3:])
+
+    def test_pare_rotmat_pickle(self, tmp_path, rng):
+        import joblib
+        from scipy.spatial.transform import Rotation as sRot
+        from nemo_tpu.data import load_baseline_pickle
+        aa = 0.3 * rng.randn(3, 24, 3).astype(np.float32)
+        R = sRot.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(
+            3, 24, 3, 3).astype(np.float32)
+        person = {"pose": R, "frame_ids": np.arange(3)}
+        joblib.dump({0: person}, str(tmp_path / "pare.pkl"))
+        out = load_baseline_pickle(str(tmp_path / "pare.pkl"), 3, "pare")
+        assert out.shape == (3, 70)
+        np.testing.assert_allclose(out[:, :69], aa[:, 1:].reshape(3, 69),
+                                   atol=1e-4)
+
+    def test_bundle_roundtrip_with_baselines(self, tmp_path, rng):
+        from nemo_tpu.data import MultiViewBundle
+        op = rng.rand(1, 2, 25, 3).astype(np.float32)
+        b = MultiViewBundle(
+            labels={"op": op},
+            hmr_theta=np.zeros((1, 2, 69), np.float32),
+            hmr_mask=np.ones((1, 2, 1), np.float32),
+            img_hw=np.array([100., 100.], np.float32),
+            framerate_multiplier=np.ones(1, np.float32),
+            baseline_poses={"glamr": rng.randn(1, 2, 70).astype(np.float32)},
+            name="t")
+        path = str(tmp_path / "b.npz")
+        b.save(path)
+        b2 = MultiViewBundle.load(path)
+        assert "glamr" in b2.baseline_poses
+        np.testing.assert_allclose(b2.baseline_poses["glamr"],
+                                   b.baseline_poses["glamr"])

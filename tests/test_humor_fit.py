@@ -43,3 +43,49 @@ def test_three_stage_fit_runs_and_reduces_reprojection(rng):
     assert np.isfinite(np.asarray(out["pose"])).all()
     # stage 2 must improve on its own starting loss
     assert float(out["stage2_loss"][-1]) < float(out["stage2_loss"][0])
+
+
+@pytest.mark.slow
+def test_fitting_loss_completion_terms(rng):
+    """Stage 2 optimizes betas; stage 3 carries contact/floor/bone-length
+    terms and the conditional-prior NLL; optimize_camera learns the camera
+    (fitting_loss.py contact/floor terms; motion_optimizer.py:275-283)."""
+    smpl = synthetic_smpl_model(num_vertices=200, seed=0)
+    hcfg = HumorConfig(latent_size=8, pred_contacts=True)
+    hp = init_humor(jax.random.PRNGKey(0), hcfg)
+
+    T = 5
+    true_pose = (0.2 * rng.randn(T, 72)).astype(np.float32)
+    cam_t = jnp.asarray([0.0, 0.0, 8.0])
+    center = jnp.asarray([112.0, 112.0])
+
+    from nemo_tpu.geometry import batch_rodrigues, perspective_projection
+    from nemo_tpu.body.smpl import smpl_forward
+    rot = batch_rodrigues(jnp.asarray(true_pose.reshape(T, 24, 3)))
+    _, j = smpl_forward(smpl, jnp.zeros((1, 10)), rot[:, 1:], rot[:, :1],
+                        want_vertices=False)
+    proj = perspective_projection(
+        j[:, :25], jnp.broadcast_to(jnp.eye(3), (T, 3, 3)),
+        jnp.broadcast_to(cam_t, (T, 3)), 5000.0,
+        jnp.broadcast_to(center, (T, 2)))
+    kp2d = jnp.concatenate([proj, jnp.ones((T, 25, 1))], -1)
+    init_pose = jnp.asarray(true_pose + 0.1 * rng.randn(T, 72)
+                            .astype(np.float32))
+
+    cfg = MotionOptConfig(steps_stage1=4, steps_stage2=6, steps_stage3=4,
+                          optimize_camera=True)
+    out = humor_motion_fit(smpl, hp, hcfg, kp2d, init_pose, cam_t, center,
+                           cfg=cfg)
+    # new outputs: fitted betas, floor plane, camera
+    assert out["betas"].shape == (10,)
+    assert np.isfinite(np.asarray(out["betas"])).all()
+    assert "floor" in out and out["floor"].shape == (3,)
+    assert np.isfinite(np.asarray(out["floor"])).all()
+    assert out["cam_R"].shape == (3, 3)
+    # the learned rotation stays orthonormal (rot6d parameterization)
+    RtR = np.asarray(out["cam_R"].T @ out["cam_R"])
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+    # all three stage losses finite and stage 3 non-increasing overall
+    for k in ("stage1_loss", "stage2_loss", "stage3_loss"):
+        assert np.isfinite(np.asarray(out[k])).all()
+    assert float(out["stage3_loss"][-1]) <= float(out["stage3_loss"][0])

@@ -117,3 +117,67 @@ class TestVPoserTraining:
                                   num_epochs=1)
         # running mean must have moved toward the data mean (~2.0)
         assert float(np.abs(np.asarray(params2["bn0_mean"])).mean()) > 0.05
+
+
+class TestReferenceArtifacts:
+    """Readers for the reference's on-disk artifact formats
+    (multi_view_sequence.py:336-414)."""
+
+    def test_gt2d_pkl_dir(self, tmp_path):
+        import joblib
+        from nemo_tpu.data import load_gt2d_pkl_dir
+        rng = np.random.RandomState(0)
+        d = tmp_path / "view_gt_new"
+        d.mkdir()
+        frames = []
+        for t in range(4):
+            kp = rng.rand(2, 49, 2).astype(np.float32) * 100
+            joblib.dump(kp, str(d / f"{t + 1:06d}_keypoints.pkl"))
+            frames.append(kp[0, :15])
+        out = load_gt2d_pkl_dir(str(d))
+        assert out.shape == (4, 25, 3)
+        np.testing.assert_allclose(out[:, :15, :2], np.stack(frames))
+        np.testing.assert_allclose(out[:, :15, 2], 1.0)   # confidence 1
+        np.testing.assert_allclose(out[:, 15:], 0.0)       # zero-padded rows
+
+    def test_gt_camera_pt_torch_tuple(self, tmp_path):
+        import pytest
+        torch = pytest.importorskip("torch")
+        from nemo_tpu.data import load_gt_camera_pt
+        cam = torch.arange(9, dtype=torch.float32)
+        path = str(tmp_path / "opt_cam_IMG_6289.pt")
+        torch.save((cam, torch.tensor(5000.0)), path)
+        cam9, f = load_gt_camera_pt(path)
+        np.testing.assert_allclose(cam9, np.arange(9, dtype=np.float32))
+        assert f == 5000.0
+
+    def test_gt_camera_joblib_dict(self, tmp_path):
+        import joblib
+        from nemo_tpu.data import load_gt_camera_pt
+        K = np.diag([4700.0, 4700.0, 1.0]).astype(np.float32)
+        K[0, 2], K[1, 2] = 960, 540
+        path = str(tmp_path / "opt_cam_IMG_6287_20230227.pt")
+        joblib.dump({"rot6d": np.arange(6, dtype=np.float32),
+                     "tran": np.array([1., 2., 3.], np.float32),
+                     "K": K}, path)
+        cam9, f = load_gt_camera_pt(path)
+        np.testing.assert_allclose(cam9[:3], [1, 2, 3])
+        np.testing.assert_allclose(cam9[3:], np.arange(6))
+        assert f == 4700.0
+
+    def test_label_intersection_threshold(self):
+        from nemo_tpu.data.bundle import MultiViewBundle
+        op = np.zeros((1, 2, 25, 3), np.float32)
+        gt = np.zeros((1, 2, 25, 3), np.float32)
+        op[..., 2] = 1.0
+        gt[0, :, :, 0] = 20.0   # 20 px horizontal disagreement
+        b = MultiViewBundle(labels={"op": op, "gt": gt},
+                            hmr_theta=np.zeros((1, 2, 69), np.float32),
+                            hmr_mask=np.zeros((1, 2, 1), np.float32),
+                            img_hw=np.array([100., 100.], np.float32),
+                            framerate_multiplier=np.ones(1, np.float32),
+                            name="t")
+        tight = b.label("intersection", intersection_threshold=10.0)
+        loose = b.label("intersection", intersection_threshold=30.0)
+        assert tight[..., 2].max() == 0.0      # all gated out at 10 px
+        assert loose[..., 2].min() == 1.0      # all kept at 30 px

@@ -84,6 +84,7 @@ class TestReferenceTwin:
                 float(metrics_j[k]), float(metrics_t[k]), rtol=5e-5,
                 err_msg=f"metric {k} diverges from the torch reference twin")
 
+    @pytest.mark.slow
     def test_20_step_trajectory_matches_torch_reference(self):
         cfg, assets, params, twin = _make_problem()
         opt = make_optimizer(cfg)

@@ -267,3 +267,43 @@ class TestEvalGrid:
         got = resample_to_common_frames([arr], 7, 0.25)[0, :, 0]
         idx = resample_indices(17, 7, 0.25)
         np.testing.assert_array_equal(got, arr[idx, 0])
+
+
+class TestPrettyRenderer:
+    def test_blue_spectrum(self):
+        from nemo_tpu.render import blue_spectrum
+        c = blue_spectrum(4)
+        assert c.shape == (4, 3)
+        assert (np.diff(c[:, 2]) > 0).all()      # blue ramps up
+        assert np.allclose(c[:, 0], 60 / 255.0)
+
+    def test_checkerboard_plane(self):
+        from nemo_tpu.render import checkerboard_plane
+        v, f, c = checkerboard_plane(plane_width=4.0, num_boxes=3, y=1.5)
+        assert v.shape == (3 * 3 * 4, 3)
+        assert f.shape == (3 * 3 * 2, 3)
+        assert np.allclose(np.asarray(v)[:, 1], 1.5)
+        # alternating tiles: both colors present
+        cs = np.unique(np.round(np.asarray(c)[:, 0], 3))
+        assert len(cs) == 2
+
+    def test_render_pretty_ground_and_people(self):
+        import jax.numpy as jnp
+        from nemo_tpu.geometry.camera import Camera
+        from nemo_tpu.render import render_pretty
+        rng = np.random.RandomState(0)
+        # two small person blobs in camera frame
+        verts = rng.randn(40, 3).astype(np.float32) * 0.2
+        faces = np.stack([np.arange(38), np.arange(1, 39),
+                          np.arange(2, 40)], axis=1)
+        p1 = jnp.asarray(verts + np.array([-0.5, 0, 4.0], np.float32))
+        p2 = jnp.asarray(verts + np.array([0.5, 0, 4.0], np.float32))
+        cam = Camera(rotation=jnp.eye(3), translation=jnp.zeros(3),
+                     focal_length=jnp.asarray(100.0),
+                     center=jnp.asarray([32.0, 32.0]))
+        img = render_pretty([p1, p2], faces, cam, (64, 64))
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
+        # the checkerboard must contribute both dark and light pixels
+        lum = img.mean(-1)
+        assert (lum < 0.3).any() and (lum > 0.7).any()

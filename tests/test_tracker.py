@@ -1,6 +1,7 @@
 """Tracker + GT camera fitting tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nemo_tpu.data import bbox_to_cs, fit_gt_camera, iou, track_bboxes
@@ -91,3 +92,103 @@ class TestVibePipeline:
         theta = vibe_to_theta(dense)
         assert theta.shape == (8, 70)
         np.testing.assert_allclose(theta[:6, -1], 1.0)
+
+
+class TestSortTracker:
+    def test_crossing_tracks_keep_identity(self):
+        """Two boxes crossing paths: the Kalman motion model must carry each
+        identity straight through the crossing (greedy IoU swaps them)."""
+        from nemo_tpu.data import track_bboxes_sort
+        F = 30
+        dets = []
+        for f in range(F):
+            xa = 10.0 + 10.0 * f          # left -> right
+            xb = 300.0 - 10.0 * f         # right -> left
+            a = [xa, 100, xa + 40, 180]
+            b = [xb, 100, xb + 40, 180]
+            dets.append(np.array([a, b], np.float32))
+        tracks = track_bboxes_sort(dets, iou_threshold=0.1)
+        long_tracks = [t for t in tracks.values()
+                       if len(t["frame_ids"]) >= F - 2]
+        assert len(long_tracks) == 2
+        for t in long_tracks:
+            xs = t["bboxes"][:, 0]
+            dx = np.diff(xs)
+            # each track moves monotonically in one direction (no identity
+            # swap at the crossing)
+            assert (dx > 0).all() or (dx < 0).all()
+
+    def test_occlusion_gap_reacquired(self):
+        """A track that vanishes for a few frames is re-acquired by the
+        predicted motion (max_age tolerance)."""
+        from nemo_tpu.data import track_bboxes_sort
+        dets = []
+        for f in range(20):
+            if 8 <= f < 11:
+                dets.append(np.zeros((0, 4), np.float32))
+            else:
+                x = 10.0 + 5.0 * f
+                dets.append(np.array([[x, 50, x + 30, 110]], np.float32))
+        tracks = track_bboxes_sort(dets, iou_threshold=0.2, max_age=5)
+        assert len(tracks) == 1
+        (t,) = tracks.values()
+        assert len(t["frame_ids"]) == 17
+
+
+class TestSmoothing:
+    def test_one_euro_reduces_jitter(self):
+        from nemo_tpu.data import smooth_pose_sequence
+        rng = np.random.RandomState(0)
+        t = np.linspace(0, 2 * np.pi, 120)
+        clean = np.sin(t)[:, None] * np.ones((1, 6))
+        noisy = clean + 0.05 * rng.randn(120, 6)
+        sm = smooth_pose_sequence(noisy.astype(np.float32))
+        assert sm.shape == noisy.shape
+        jitter = lambda x: np.abs(np.diff(x, axis=0)).mean()
+        assert jitter(sm) < 0.7 * jitter(noisy)
+        # and it still tracks the signal
+        assert np.abs(sm - clean).mean() < 0.1
+
+    def test_smooth_bbox_params(self):
+        from nemo_tpu.data import smooth_bbox_params
+        rng = np.random.RandomState(1)
+        track = np.stack([np.linspace(0, 100, 60),
+                          np.linspace(50, 60, 60),
+                          np.full(60, 40.0)], axis=1)
+        noisy = track + 3.0 * rng.randn(60, 3)
+        sm = smooth_bbox_params(noisy.astype(np.float32))
+        assert np.abs(np.diff(sm, axis=0)).mean() < \
+            np.abs(np.diff(noisy, axis=0)).mean()
+
+    def test_crop_to_image_coords(self):
+        from nemo_tpu.data import crop_to_image_coords
+        bbox_cs = np.array([[100.0, 200.0, 50.0]])      # cx, cy, size
+        kp = np.zeros((1, 2, 2), np.float32)            # crop center
+        out = crop_to_image_coords(bbox_cs, kp, crop_size=224)
+        np.testing.assert_allclose(out[0, :, 0], 100.0)
+        np.testing.assert_allclose(out[0, :, 1], 200.0)
+        corner = np.full((1, 1, 2), -1.0, np.float32)   # crop top-left
+        out = crop_to_image_coords(bbox_cs, corner, crop_size=224)
+        np.testing.assert_allclose(out[0, 0], [75.0, 175.0])
+
+
+def test_spin_projection_matches_torch_reference():
+    """spin_projection must match a torch twin of spin.py:309-322."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from nemo_tpu.models.hmr import spin_projection
+
+    rng = np.random.RandomState(0)
+    joints = rng.randn(4, 49, 3).astype(np.float32)
+    joints[..., 2] += 0.5
+    cam = np.abs(rng.randn(4, 3).astype(np.float32)) + 0.5
+
+    ours = np.asarray(spin_projection(jnp.asarray(joints), jnp.asarray(cam)))
+
+    tj, tc = torch.tensor(joints), torch.tensor(cam)
+    cam_t = torch.stack([tc[:, 1], tc[:, 2],
+                         2 * 5000. / (224. * tc[:, 0] + 1e-9)], dim=-1)
+    pts = tj + cam_t.unsqueeze(1)
+    proj = pts / pts[:, :, -1].unsqueeze(-1)
+    want = 5000.0 * proj[:, :, :2] / (224. / 2.)
+    np.testing.assert_allclose(ours, want.numpy(), rtol=2e-5, atol=1e-4)
