@@ -19,6 +19,8 @@ from .openpose import (flip_horizontal, load_gt2d_pkl_dir,
 from .penn_action import load_penn_sequence, penn_gt_to_op
 from .synthetic import (make_cameras, monotone_warp, smooth_motion,
                         synthetic_problem)
+from .vibe_db import (VIBE_DB_SCHEMA, VibeDbBuilder, db_to_shards,
+                      extract_features, load_db, make_windows, read_3dpw)
 from .vibe import (densify_person, load_baseline_pickle,
                    load_vibe_pickle, select_person_near_gt, vibe_to_theta)
 
@@ -30,6 +32,8 @@ __all__ = [
     "flip_horizontal", "load_gt2d_pkl_dir", "load_gt_camera_pt",
     "load_openpose_dir", "parse_openpose_json",
     "load_penn_sequence", "penn_gt_to_op", "densify_person",
+    "VIBE_DB_SCHEMA", "VibeDbBuilder", "db_to_shards",
+    "extract_features", "load_db", "make_windows", "read_3dpw",
     "load_baseline_pickle", "load_vibe_pickle",
     "select_person_near_gt", "vibe_to_theta",
     "bbox_from_keypoints", "crop_image", "get_single_image_crop",

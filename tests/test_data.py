@@ -215,3 +215,92 @@ class TestShardedDataset:
             losses.append(float(metrics["loss_total"]))
         assert len(losses) == 4
         assert all(np.isfinite(l) for l in losses)
+
+
+class TestVibeDb:
+    """VIBE training-db schema layer (data/vibe_db.py; reference
+    VIBE/lib/data_utils/*_utils.py emit this dict-of-arrays format)."""
+
+    def _tiny_db(self, rng):
+        from nemo_tpu.data import VibeDbBuilder
+        b = VibeDbBuilder()
+        for vid, F in (("a_0", 40), ("b_0", 21)):
+            b.add_sequence(
+                vid, np.arange(F),
+                joints2d=rng.rand(F, 49, 3).astype(np.float32),
+                pose=rng.randn(F, 72).astype(np.float32),
+                shape=rng.randn(10).astype(np.float32),
+                bbox=np.abs(rng.randn(F, 4)).astype(np.float32),
+                features=rng.randn(F, 2048).astype(np.float32))
+        return b
+
+    def test_builder_schema(self, rng):
+        db = self._tiny_db(rng).build()
+        assert db["pose"].shape == (61, 72)
+        assert db["joints2D"].shape == (61, 49, 3)
+        assert db["features"].shape == (61, 2048)
+        assert db["valid"].shape == (61,)
+        assert (db["vid_name"][:40] == "a_0").all()
+        # zero-filled optional columns exist with the right shapes
+        assert db["joints3D"].shape == (61, 49, 3)
+        np.testing.assert_allclose(db["joints3D"], 0.0)
+
+    def test_shape_validation(self, rng):
+        from nemo_tpu.data import VibeDbBuilder
+        b = VibeDbBuilder()
+        with np.testing.assert_raises(ValueError):
+            b.add_sequence("v", np.arange(3),
+                           joints2d=rng.rand(3, 25, 3).astype(np.float32))
+
+    def test_make_windows_respects_video_boundaries(self, rng):
+        from nemo_tpu.data import make_windows
+        db = self._tiny_db(rng).build()
+        win = make_windows(db["vid_name"], seqlen=16)
+        # 40 frames -> 2 windows; 21 frames -> 1 window; none crossing
+        assert win.shape == (3, 16)
+        for w in win:
+            assert len(np.unique(db["vid_name"][w])) == 1
+            assert (np.diff(w) == 1).all()
+
+    def test_db_to_shards_feeds_batch_iterator(self, rng, tmp_path):
+        from nemo_tpu.data import batch_iterator, db_to_shards, ShardedDataset
+        db = self._tiny_db(rng).build()
+        n, win = db_to_shards(db, str(tmp_path / "shards"), seqlen=8,
+                              shard_size=4)
+        assert n == win.shape[0] == 7   # 5 from 40 frames, 2 from 21
+        ds = ShardedDataset(str(tmp_path / "shards"))
+        assert len(ds) == 7
+        batch = next(batch_iterator(ds, batch_size=4, seed=0))
+        assert batch["features"].shape == (4, 8, 2048)
+        assert batch["pose"].shape == (4, 8, 72)
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        from nemo_tpu.data import load_db
+        b = self._tiny_db(rng)
+        path = str(tmp_path / "db.pt")
+        db = b.save(path)
+        db2 = load_db(path)
+        np.testing.assert_allclose(db2["pose"], db["pose"])
+
+    def test_read_3dpw_layout(self, rng, tmp_path):
+        """3DPW reader against a fixture mimicking the official
+        sequenceFiles pkl layout (threedpw_utils.py:42-146)."""
+        import pickle
+        import os
+        from nemo_tpu.data import read_3dpw
+        seq_dir = tmp_path / "sequenceFiles" / "train"
+        os.makedirs(seq_dir)
+        F = 12
+        data = {
+            "poses": [rng.randn(F, 72).astype(np.float64)],
+            "betas": [rng.randn(16).astype(np.float64)],
+            "campose_valid": [np.ones(F)],
+            "poses2d": [np.abs(rng.randn(F, 3, 18)).astype(np.float64)],
+        }
+        with open(seq_dir / "courtyard_test_00.pkl", "wb") as f:
+            pickle.dump(data, f)
+        db = read_3dpw(str(tmp_path), "train").build()
+        assert db["pose"].shape == (F, 72)
+        assert db["joints2D"].shape == (F, 49, 3)
+        assert (db["vid_name"] == "courtyard_test_00_0").all()
+        assert db["img_name"][0].endswith("image_00000.jpg")
