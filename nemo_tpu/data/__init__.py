@@ -20,7 +20,8 @@ from .penn_action import load_penn_sequence, penn_gt_to_op
 from .synthetic import (make_cameras, monotone_warp, smooth_motion,
                         synthetic_problem)
 from .vibe_db import (VIBE_DB_SCHEMA, VibeDbBuilder, db_to_shards,
-                      extract_features, load_db, make_windows, read_3dpw)
+                      extract_features, load_db, make_windows, read_3dpw,
+                      read_penn_action)
 from .vibe import (densify_person, load_baseline_pickle,
                    load_vibe_pickle, select_person_near_gt, vibe_to_theta)
 
@@ -34,6 +35,7 @@ __all__ = [
     "load_penn_sequence", "penn_gt_to_op", "densify_person",
     "VIBE_DB_SCHEMA", "VibeDbBuilder", "db_to_shards",
     "extract_features", "load_db", "make_windows", "read_3dpw",
+    "read_penn_action",
     "load_baseline_pickle", "load_vibe_pickle",
     "select_person_near_gt", "vibe_to_theta",
     "bbox_from_keypoints", "crop_image", "get_single_image_crop",

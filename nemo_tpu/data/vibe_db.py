@@ -229,3 +229,40 @@ def read_3dpw(folder: str, split: str = "train",
                            shape=betas, bbox=bbox, img_names=img_names,
                            valid=valid)
     return b
+
+
+def read_penn_action(folder: str) -> VibeDbBuilder:
+    """Penn Action reader (penn_action_utils.py:63-123): labels/*.mat ->
+    one tracklet per video with 2D joints (here in OP-25 slots of the
+    49-joint layout via data.penn_action's L/R-swapped mapping) and
+    keypoint-extent bboxes. Features are added separately with
+    extract_features once frames are available."""
+    import glob
+    import os.path as osp
+
+    from .penn_action import load_penn_sequence
+
+    b = VibeDbBuilder(with_3d=False)
+    for fname in sorted(glob.glob(osp.join(folder, "labels", "*.mat"))):
+        vid = osp.basename(fname)[:-4]
+        op = load_penn_sequence(fname)                     # (F, 25, 3)
+        F = op.shape[0]
+        j2d = np.zeros((F, 49, 3), np.float32)
+        j2d[:, :25] = op
+        conf = op[..., 2] > 0
+        x, y = op[..., 0], op[..., 1]
+        x0 = np.where(conf, x, np.inf).min(1)
+        x1 = np.where(conf, x, -np.inf).max(1)
+        y0 = np.where(conf, y, np.inf).min(1)
+        y1 = np.where(conf, y, -np.inf).max(1)
+        w = np.nan_to_num(x1 - x0, neginf=0, posinf=0)
+        h = np.nan_to_num(y1 - y0, neginf=0, posinf=0)
+        bbox = np.stack([(x0 + x1) / 2, (y0 + y1) / 2,
+                         w * 1.1, h * 1.1], 1).astype(np.float32)
+        bbox = np.nan_to_num(bbox, neginf=0, posinf=0)
+        img_names = [osp.join(folder, "frames", vid, f"{i + 1:06d}.jpg")
+                     for i in range(F)]
+        b.add_sequence(vid, np.arange(F), j2d, bbox=bbox,
+                       img_names=img_names,
+                       valid=conf.any(1).astype(np.float32))
+    return b

@@ -304,3 +304,28 @@ class TestVibeDb:
         assert db["joints2D"].shape == (F, 49, 3)
         assert (db["vid_name"] == "courtyard_test_00_0").all()
         assert db["img_name"][0].endswith("image_00000.jpg")
+
+
+def test_read_penn_action_layout(rng, tmp_path):
+    """Penn Action db reader against a labels/*.mat fixture
+    (penn_action_utils.py:63-123)."""
+    from scipy.io import savemat
+    import os
+    from nemo_tpu.data import read_penn_action
+    os.makedirs(tmp_path / "labels")
+    F = 7
+    savemat(str(tmp_path / "labels" / "0001.mat"), {
+        "x": rng.rand(F, 13) * 100,
+        "y": rng.rand(F, 13) * 100,
+        "visibility": np.ones((F, 13)),
+        "nframes": np.array([[F]]),
+        "pose": "?", "train": 1, "action": "x",
+        "dimensions": np.array([[120, 160, F]]),
+        "bbox": rng.rand(F, 4),
+    })
+    db = read_penn_action(str(tmp_path)).build()
+    assert db["joints2D"].shape == (F, 49, 3)
+    assert (db["joints2D"][:, :25, 2] >= 0).all()
+    assert db["bbox"].shape == (F, 4)
+    assert (db["bbox"][:, 2:] > 0).all()
+    assert (db["vid_name"] == "0001").all()
