@@ -24,6 +24,12 @@ from .vibe_db import (VIBE_DB_SCHEMA, VibeDbBuilder, db_to_shards,
                       read_penn_action)
 from .vibe import (densify_person, load_baseline_pickle,
                    load_vibe_pickle, select_person_near_gt, vibe_to_theta)
+from .keypoints import (SKELETONS, VOCAB, conversion_index, convert_kps,
+                        get_perm_idxs, keypoint_hflip)
+from .vibe_readers import (bbox_from_kp2d, iter_tfrecord, parse_tf_example,
+                           read_amass, read_h36m, read_insta,
+                           read_insta_record, read_mpii3d, read_nemomocap,
+                           read_posetrack)
 
 __all__ = [
     "MultiViewBundle", "resample_indices", "resample_to_common_frames",
@@ -43,4 +49,9 @@ __all__ = [
     "fit_gt_camera", "bbox_to_cs", "crop_to_image_coords", "iou",
     "run_vibe_on_tracks", "track_bboxes", "track_bboxes_sort",
     "OneEuroFilter", "smooth_bbox_params", "smooth_pose_sequence",
+    "SKELETONS", "VOCAB", "conversion_index", "convert_kps",
+    "get_perm_idxs", "keypoint_hflip",
+    "bbox_from_kp2d", "iter_tfrecord", "parse_tf_example", "read_amass",
+    "read_h36m", "read_insta", "read_insta_record", "read_mpii3d",
+    "read_nemomocap", "read_posetrack",
 ]
