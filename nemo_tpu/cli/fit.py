@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vp_v2v_n_verts", type=int, default=0,
                    help="evaluate the v2v prior on an even N-vertex "
                         "subsample (0 = all vertices, reference behavior)")
+    p.add_argument("--skin_bf16", action="store_true", default=False,
+                   help="store the skinning tables in bf16 (f32 "
+                        "accumulation) — faster MXU path, ~1e-3 rel "
+                        "error on vertices; parity-gated opt-in")
     p.add_argument("--weight_gmm_loss", type=float, default=1e-2)
     p.add_argument("--weight_instance_loss", type=float, default=0)
     p.add_argument("--weight_3d_loss", type=float, default=0)
@@ -144,6 +148,10 @@ def main(argv=None) -> int:
                          merge_config, save_fit_state)
 
     args = merge_config(build_parser(), argv)
+    if getattr(args, "skin_bf16", False):
+        # must precede asset loading: tile_tables reads this knob
+        import os
+        os.environ["NEMO_TPU_SKIN_BF16"] = "1"
     out_dir = create_latest_child_dir(args.out_dir)
     cfg = dataclass_from_namespace(NemoConfig, args)
 

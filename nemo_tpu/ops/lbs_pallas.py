@@ -73,23 +73,42 @@ def _fwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, out_ref,
     pd (3, 207, TV), w (24, TV), out (TB, 3, TV).
 
     Each of the 12 transform components l = i*4+k is blended for the whole
-    batch tile with one MXU matmul: M_l (TB, TV) = A_l @ W."""
+    batch tile with one MXU matmul: M_l (TB, TV) = A_l @ W.
+
+    When the tables are bf16 (tile_tables dtype, opt-in) every dot runs
+    bf16xbf16 on the MXU with f32 accumulation; all elementwise math and
+    the output stay f32."""
     pf = pf_ref[:, :]
     w = w_ref[0]                                        # (24, TV)
     vsh = vsh_ref[0]                                    # (3, TV)
+    # bf16 operands need DEFAULT contract precision (the package-global
+    # 'highest' would ask Mosaic for an fp32 contraction over bf16 inputs)
+    prec = (jax.lax.Precision.DEFAULT if w.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
     # vph planes (TB, TV) per coordinate k
-    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32)
+    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
+                  precision=prec)
           + vsh[k] for k in range(3)]
 
     def m_plane(l):
-        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32)
+        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32,
+                       precision=prec)
 
     for i in range(3):
         acc = m_plane(i * 4 + 3)                        # translation
         for k in range(3):
             acc = acc + m_plane(i * 4 + k) * vp[k]
         out_ref[:, i, :] = acc
+
+
+def _compiler_params(tb: int):
+    """Scoped-VMEM headroom for batch tiles past 128: the default 16 MB
+    limit OOMs the tb=256 backward (22.6 MB of stack)."""
+    if tb <= 128:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)}
 
 
 def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
@@ -102,11 +121,13 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
     pad_b = (-B) % tb
     Bp = B + pad_b
 
-    pf_p = jnp.pad(pf, ((0, pad_b), (0, 0)))
+    cdt = pd_tiles.dtype  # bf16 tables -> bf16 MXU operands
+    pf_p = jnp.pad(pf.astype(cdt), ((0, pad_b), (0, 0)))
     # (B, 24, 12) -> (12, B, 24) component-plane-major: each plane l is a
     # contiguous (B, 24) matrix the kernel matmuls independently (Mosaic
     # supports neither lane-split reshapes nor strided sublane slices).
-    A_p = jnp.pad(A34.transpose(2, 0, 1), ((0, 0), (0, pad_b), (0, 0)))
+    A_p = jnp.pad(A34.astype(cdt).transpose(2, 0, 1),
+                  ((0, 0), (0, pad_b), (0, 0)))
     vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
     vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)     # (nv, 3, tv)
 
@@ -129,6 +150,7 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
         out_specs=pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.float32),
+        **_compiler_params(tb),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles)
     # Lane pads are exactly zero (w_tiles pad columns zero every m_plane,
     # including the translation), so padded consumers are safe.
@@ -155,7 +177,11 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
         gpf_ref[:, :] = jnp.zeros_like(gpf_ref)
         ga_ref[:, :, :] = jnp.zeros_like(ga_ref)
 
-    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32)
+    cdt = w_ref.dtype  # bf16 tables -> bf16 MXU operands, f32 accumulate
+    prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
+                  precision=prec)
           + vsh[k] for k in range(3)]                   # (TB, TV) x3
     g = [g_ref[:, i, :] for i in range(3)]              # (TB, TV) x3
 
@@ -164,11 +190,14 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
         for k in range(4):
             gm = g[i] * vp[k] if k < 3 else g[i]
             ga_ref[i * 4 + k] += jax.lax.dot_general(
-                gm, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (TB, 24)
+                gm.astype(cdt), w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                         # (TB, 24)
 
     def m_plane(l):
-        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32)
+        return jnp.dot(a34_ref[l], w, preferred_element_type=jnp.float32,
+                       precision=prec)
 
     gvp = [m_plane(0 + k) * g[0] + m_plane(4 + k) * g[1]
            + m_plane(8 + k) * g[2] for k in range(3)]   # (TB, TV) x3
@@ -177,8 +206,10 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
     acc = gpf_ref[:, :]
     for k in range(3):
         acc = acc + jax.lax.dot_general(
-            gvp[k], pd_ref[0, k], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            gvp[k].astype(cdt), pd_ref[0, k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
     gpf_ref[:, :] = acc
 
     for k in range(3):
@@ -193,8 +224,10 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
     pad_b = (-B) % tb
     Bp = B + pad_b
 
-    pf_p = jnp.pad(pf, ((0, pad_b), (0, 0)))
-    A_p = jnp.pad(A34.transpose(2, 0, 1), ((0, 0), (0, pad_b), (0, 0)))
+    cdt = pd_tiles.dtype
+    pf_p = jnp.pad(pf.astype(cdt), ((0, pad_b), (0, 0)))
+    A_p = jnp.pad(A34.astype(cdt).transpose(2, 0, 1),
+                  ((0, 0), (0, pad_b), (0, 0)))
     vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
     vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)
     # g may arrive already lane-padded (skin_verts_t_padded cotangent)
@@ -231,6 +264,7 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
             jax.ShapeDtypeStruct((12, Bp, 24), jnp.float32),
             jax.ShapeDtypeStruct((Bp // tb, nv, 3, tv), jnp.float32),
         ],
+        **_compiler_params(tb),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles, g_p)
 
     gvsh = gvsh_tiles.sum(axis=0).transpose(1, 0, 2).reshape(3, Vp)[:, :V]
@@ -249,17 +283,29 @@ def _use_pallas() -> bool:
 CANONICAL_TV = 512
 
 
+def skin_tables_dtype():
+    """Kernel-table dtype knob: NEMO_TPU_SKIN_BF16=1 stores posedirs/weights
+    in bf16 so every skinning dot runs bf16xbf16 on the MXU with f32
+    accumulation (half the table HBM traffic, ~6x MXU rate vs multi-pass
+    f32). Off by default — opt-in, parity-gated (~1e-2 on verts)."""
+    import os
+    return (jnp.bfloat16 if os.environ.get("NEMO_TPU_SKIN_BF16", "0") == "1"
+            else jnp.float32)
+
+
 def tile_tables(posedirs_t: np.ndarray, W_t: np.ndarray,
-                tv: int = CANONICAL_TV):
+                tv: int = CANONICAL_TV, dtype=None):
     """Pre-tile the frozen model tables into kernel layout (host, once).
 
     Returns (pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv), V) with the
     vertex axis padded to a tile multiple. Re-tiling 17 MB of posedirs per
     call inside jit costs more than the kernel itself — these live in the
-    SMPLModel instead.
+    SMPLModel instead. dtype=None uses skin_tables_dtype() (f32 unless
+    NEMO_TPU_SKIN_BF16=1).
     """
     posedirs_t = np.asarray(posedirs_t)
     W_t = np.asarray(W_t)
+    dtype = skin_tables_dtype() if dtype is None else dtype
     V = posedirs_t.shape[-1]
     pad_v = (-V) % tv
     pd_p = np.pad(posedirs_t, ((0, 0), (0, 0), (0, pad_v)))
@@ -269,6 +315,9 @@ def tile_tables(posedirs_t: np.ndarray, W_t: np.ndarray,
         pd_p.reshape(207, 3, nv, tv).transpose(2, 1, 0, 3))
     w_tiles = np.ascontiguousarray(
         w_p.reshape(24, nv, tv).transpose(1, 0, 2))
+    if dtype != jnp.float32:
+        pd_tiles = jnp.asarray(pd_tiles, dtype)
+        w_tiles = jnp.asarray(w_tiles, dtype)
     return pd_tiles, w_tiles, V
 
 

@@ -101,6 +101,49 @@ class TestSkinVertsT:
             np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                        atol=3e-3, rtol=1e-3, err_msg=name)
 
+    def test_bf16_tables_parity(self, model, rng):
+        """Opt-in bf16 tables: interpreter-mode Pallas fwd/bwd stay within
+        bf16 tolerance of the f32 XLA reference, and the XLA fallback
+        accepts bf16 tables (mixed-dtype einsum upcast)."""
+        rot, betas = make_inputs(model, 2, rng)
+        pf, A34, vsh_t = raw_op_inputs(model, rot, betas)
+        pd16, w16, V = lbs_pallas.tile_tables(
+            model.posedirs_t, model.lbs_weights_t, tv=128,
+            dtype=jnp.bfloat16)
+        pd, w = lbs_pallas._untile(jnp.asarray(model.pd_tiles),
+                                   jnp.asarray(model.w_tiles), V)
+        want = lbs_pallas._skin_verts_t_xla(pf, A34, vsh_t, pd, w)
+        scale = float(jnp.abs(want).max())
+
+        orig_call = lbs_pallas.pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            got = lbs_pallas._fwd_pallas(pf, A34, vsh_t, pd16, w16, V, tb=8)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(want) / scale, atol=2e-2)
+
+        g = jax.random.normal(jax.random.PRNGKey(0), want.shape)
+        want_g = lbs_pallas._bwd_xla(pf, A34, vsh_t, pd, w, g)
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            got_g = lbs_pallas._bwd_pallas(pf, A34, vsh_t, pd16, w16, V, g,
+                                           tb=8)
+        for gw, gg, name in zip(want_g, got_g, ("gpf", "gA34", "gvsh")):
+            s = float(np.abs(np.asarray(gw)).max()) or 1.0
+            np.testing.assert_allclose(np.asarray(gg) / s,
+                                       np.asarray(gw) / s, atol=3e-2,
+                                       err_msg=name)
+
+        # XLA fallback path with bf16 tables (CPU: _use_pallas() False)
+        out16 = lbs_pallas.skin_verts_t(V, pf, A34, vsh_t, pd16, w16)
+        assert out16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out16) / scale,
+                                   np.asarray(want) / scale, atol=2e-2)
+
     def test_custom_vjp_matches_autodiff(self, model, rng):
         """Gradients through the custom VJP must match plain autodiff of the
         XLA reference implementation."""
