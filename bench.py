@@ -30,6 +30,14 @@ REFERENCE_STEPS_PER_SEC = 5.0
 
 
 def main():
+    import os
+    # Recommended production setting: bf16 skinning tables (f32 accumulate).
+    # Parity-gated (tests/test_lbs_pallas.py::test_bf16_tables_parity) and
+    # quality-validated (tests/test_fit.py::test_skin_bf16_quality, final
+    # kp_loss within 10% of f32 on synthetic-GT fits; measured delta ~0).
+    # f32 reference point on this chip: 248.9 steps/s (ROADMAP).
+    os.environ.setdefault("NEMO_TPU_SKIN_BF16", "1")
+
     from nemo_tpu.body import synthetic_smpl_model
     from nemo_tpu.data import synthetic_problem
     from nemo_tpu.fit import NemoConfig, NemoFitter, build_assets

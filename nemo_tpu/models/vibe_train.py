@@ -147,3 +147,194 @@ def make_discriminator_train_step(lr: float = 1e-4):
         return optax.apply_updates(disc_params, upd), opt_state, loss
 
     return opt, step
+
+
+# ---------------------------------------------------------------------------
+# full trainer (lib/core/trainer.py Trainer.fit/train/validate/evaluate)
+# ---------------------------------------------------------------------------
+
+# SPIN-49 -> common-14 gather for the 3D loss / eval joint set: the
+# reference stores kp_3d in 'common' order (dataset_3d convert_kps) whose
+# hips sit at indices 2/3 — the pelvis convention both the loss and the
+# eval root-centering rely on.
+_SPIN_TO_COMMON = np.array(
+    [25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38])
+
+
+def init_vibe_train_state(key, smpl, gen_lr: float = 5e-5,
+                          disc_lr: float = 1e-4,
+                          feat_size: int = 2048):
+    """Params + optimizer states for generator (GRU + SPIN head) and
+    motion discriminator (Trainer.__init__'s get_optimizer pair)."""
+    from .hmr import init_hmr_head
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    gen_params = {"gru": init_gru(k1, feat_size, feat_size),
+                  "head": init_hmr_head(k2, feat_dim=feat_size)}
+    disc_params = init_motion_discriminator(k3)
+    gen_opt = optax.adam(gen_lr)
+    disc_opt = optax.adam(disc_lr)
+    return {
+        "gen": gen_params, "disc": disc_params,
+        "gen_opt": gen_opt.init(gen_params),
+        "disc_opt": disc_opt.init(disc_params),
+    }, (gen_opt, disc_opt)
+
+
+def vibe_predict(gen_params: Params, smpl, feats: jnp.ndarray,
+                 n_iter: int = 3) -> Dict[str, jnp.ndarray]:
+    """(B, T, 2048) features -> (B, T, ...) predictions: theta (85),
+    kp_2d (49, 2), kp_3d common-14, verts, pose/betas splits."""
+    from .vibe import hmr_forward_from_features, temporal_encoder
+
+    B, T = feats.shape[:2]
+    y = temporal_encoder(gen_params["gru"], feats)
+    out = hmr_forward_from_features(gen_params["head"], smpl,
+                                    y.reshape(B * T, -1), n_iter)
+    out = {k: v.reshape((B, T) + v.shape[1:]) for k, v in out.items()}
+    theta = out["theta"]
+    return {
+        "theta": theta,
+        "kp_2d": out["kp_2d"],
+        "kp_3d": out["kp_3d"][..., _SPIN_TO_COMMON, :],
+        "verts": out["verts"],
+        "pose": theta[..., 3:75],
+        "betas": theta[..., 75:],
+        "pose_body_seq": theta[..., 6:75],
+    }
+
+
+def make_vibe_train_step(smpl, w: VibeLossWeights = VibeLossWeights(),
+                         gen_lr: float = 5e-5, n_iter: int = 3):
+    """One jitted program per batch: generator update (supervised +
+    adversarial) then discriminator update on AMASS-real vs the fresh
+    fake motion (Trainer.train's two backprops, trainer.py:117-247).
+
+    batch keys ((B, T, ...)): 'features', 'kp_2d' (49, 3 w/conf),
+    optional 'kp_3d' (common-14), 'pose' (72), 'betas' (10),
+    'has_3d'/'has_smpl' (B, T) masks. real_motion: (B', T, 69) AMASS
+    body-pose sequences for the discriminator.
+    """
+    gen_opt = optax.adam(gen_lr)
+    disc_opt = optax.adam(w.disc_motion_lr)
+
+    def gen_loss_fn(gen_params, disc_params, batch):
+        pred = vibe_predict(gen_params, smpl, batch["features"], n_iter)
+        target = {k: batch[k] for k in
+                  ("kp_2d", "kp_3d", "pose", "betas", "has_3d", "has_smpl")
+                  if k in batch}
+        loss, metrics = vibe_generator_loss(pred, target, disc_params, w)
+        return loss, (metrics, pred["pose_body_seq"])
+
+    @jax.jit
+    def step(state, batch, real_motion):
+        (_, (metrics, fake_seq)), g = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state["gen"], state["disc"], batch)
+        upd, gen_opt_state = gen_opt.update(g, state["gen_opt"])
+        gen_params = optax.apply_updates(state["gen"], upd)
+
+        d_loss, dg = jax.value_and_grad(vibe_discriminator_loss)(
+            state["disc"], real_motion, fake_seq)
+        dupd, disc_opt_state = disc_opt.update(dg, state["disc_opt"])
+        disc_params = optax.apply_updates(state["disc"], dupd)
+        metrics = dict(metrics, d_m_disc_loss=d_loss)
+        return {"gen": gen_params, "disc": disc_params,
+                "gen_opt": gen_opt_state, "disc_opt": disc_opt_state}, \
+            metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics (lib/utils/eval_utils.py + Trainer.evaluate)
+# ---------------------------------------------------------------------------
+
+def compute_accel(joints: np.ndarray) -> np.ndarray:
+    """Mean joint acceleration magnitude per frame (eval_utils.py:11-22);
+    joints (N, J, 3) along a time axis."""
+    vel = joints[1:] - joints[:-1]
+    acc = vel[1:] - vel[:-1]
+    return np.linalg.norm(acc, axis=2).mean(axis=1)
+
+
+def compute_error_accel(joints_gt: np.ndarray, joints_pred: np.ndarray
+                        ) -> np.ndarray:
+    """Acceleration error |a_pred - a_gt| (eval_utils.py:69-97)."""
+    accel_gt = joints_gt[:-2] - 2 * joints_gt[1:-1] + joints_gt[2:]
+    accel_pred = joints_pred[:-2] - 2 * joints_pred[1:-1] + joints_pred[2:]
+    return np.linalg.norm(accel_pred - accel_gt, axis=2).mean(axis=1)
+
+
+def evaluate_vibe(pred_j3d: np.ndarray, target_j3d: np.ndarray,
+                  pred_verts: Optional[np.ndarray] = None,
+                  target_verts: Optional[np.ndarray] = None
+                  ) -> Dict[str, float]:
+    """MPJPE / PA-MPJPE / accel / accel_err (+PVE) in mm over common-14
+    joints, pelvis = mean of hips at indices 2/3 (Trainer.evaluate,
+    trainer.py:389-437)."""
+    from ..geometry.procrustes import similarity_transform_np
+
+    pred = np.asarray(pred_j3d, np.float64)
+    gt = np.asarray(target_j3d, np.float64)
+    pred = pred - (pred[:, 2:3] + pred[:, 3:4]) / 2
+    gt = gt - (gt[:, 2:3] + gt[:, 3:4]) / 2
+
+    mpjpe = np.linalg.norm(pred - gt, axis=-1).mean(axis=-1)
+    pa = np.stack([similarity_transform_np(p, g)[0]
+                   for p, g in zip(pred, gt)])
+    pa_mpjpe = np.linalg.norm(pa - gt, axis=-1).mean(axis=-1)
+
+    m2mm = 1000.0
+    out = {
+        "mpjpe": float(mpjpe.mean() * m2mm),
+        "pa-mpjpe": float(pa_mpjpe.mean() * m2mm),
+        "accel": float(compute_accel(pred).mean() * m2mm),
+        "accel_err": float(
+            compute_error_accel(gt, pred).mean() * m2mm),
+    }
+    if pred_verts is not None and target_verts is not None:
+        out["pve"] = float(np.linalg.norm(
+            np.asarray(pred_verts) - np.asarray(target_verts),
+            axis=-1).mean() * m2mm)
+    return out
+
+
+def vibe_trainer_fit(state, step_fn, smpl,
+                     train_batches, valid_batches=None,
+                     real_motion_batches=None,
+                     epochs: int = 1,
+                     lr_patience: int = 5,
+                     log_fn=print) -> Tuple[dict, Dict[str, float]]:
+    """Epoch loop: train over batches, validate, evaluate (Trainer.fit,
+    trainer.py:314-344). Iterables are callables returning fresh iterators
+    (the reference's re-created DataLoader iterators). Returns the final
+    state and the last eval dict; performance = PA-MPJPE like the
+    reference's scheduler/checkpoint metric."""
+    best = {"pa-mpjpe": float("inf")}
+    for epoch in range(epochs):
+        real_iter = iter(real_motion_batches()) \
+            if real_motion_batches else None
+        for batch in train_batches():
+            if real_iter is None:
+                real = batch["pose"][..., 3:] if "pose" in batch else \
+                    jnp.zeros(batch["features"].shape[:2] + (69,))
+            else:
+                try:
+                    real = next(real_iter)
+                except StopIteration:
+                    real_iter = iter(real_motion_batches())
+                    real = next(real_iter)
+            state, metrics = step_fn(state, batch, real)
+        if valid_batches is None:
+            continue
+        preds, gts = [], []
+        for vb in valid_batches():
+            p = vibe_predict(state["gen"], smpl, vb["features"])
+            preds.append(np.asarray(p["kp_3d"]).reshape(-1, 14, 3))
+            gts.append(np.asarray(vb["kp_3d"]).reshape(-1, 14, 3))
+        perf = evaluate_vibe(np.concatenate(preds), np.concatenate(gts))
+        log_fn(f"[vibe] epoch {epoch}: " + " ".join(
+            f"{k}={v:.2f}" for k, v in perf.items()))
+        if perf["pa-mpjpe"] < best["pa-mpjpe"]:
+            best = perf
+    return state, best
