@@ -85,9 +85,13 @@ def batch_rodrigues(aa: jnp.ndarray) -> jnp.ndarray:
         -ry, rx, zeros,
     ], axis=-1).reshape(aa.shape[:-1] + (3, 3))
     ident = jnp.eye(3, dtype=aa.dtype)
-    # NB: matmul precision must be pinned — the default lowers 3x3 products
-    # to bf16 on TPU (and on some CPU builds), costing ~1e-3 absolute error.
-    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    # K is skew(axis), so K@K == a a^T - (a.a) I in exact arithmetic.
+    # The closed form avoids batched (3,3) matmuls, which XLA:TPU executes
+    # one tile per matrix — the K@K dot_generals (fwd + VJP) plus their
+    # layout copies were ~25% of the whole fit step (profile_step.py).
+    outer = axis[..., :, None] * axis[..., None, :]
+    sq = jnp.sum(axis * axis, axis=-1)[..., None, None]
+    KK = outer - sq * ident
     return ident + sin * K + (1.0 - cos) * KK
 
 
