@@ -37,6 +37,10 @@ def main():
     # kp_loss within 10% of f32 on synthetic-GT fits; measured delta ~0).
     # f32 reference point on this chip: 248.9 steps/s (ROADMAP).
     os.environ.setdefault("NEMO_TPU_SKIN_BF16", "1")
+    # Network MLPs at 3-pass-bf16 matmul precision (geometry stays
+    # HIGHEST). Quality-validated on TPU: 600-step fits end at kp_loss
+    # 1485.4 (highest) vs 1490.2 (high), a 0.3% delta within run noise.
+    os.environ.setdefault("NEMO_TPU_NET_PRECISION", "high")
 
     from nemo_tpu.body import synthetic_smpl_model
     from nemo_tpu.data import synthetic_problem

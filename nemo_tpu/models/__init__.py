@@ -11,9 +11,13 @@ from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
                     split_state)
 from .humor_eval import humor_eval_metrics
 from .humor_fit import MotionOptConfig, humor_motion_fit
-from .vibe_train import (VibeLossWeights, init_motion_discriminator,
-                         make_discriminator_train_step, motion_discriminator,
-                         vibe_discriminator_loss, vibe_generator_loss)
+from .vibe_train import (VibeLossWeights, compute_accel,
+                         compute_error_accel, evaluate_vibe,
+                         init_motion_discriminator, init_vibe_train_state,
+                         make_discriminator_train_step, make_vibe_train_step,
+                         motion_discriminator, vibe_discriminator_loss,
+                         vibe_generator_loss, vibe_predict,
+                         vibe_trainer_fit)
 from .vibe import (convert_torch_gru, gru_cell, hmr_forward_from_features,
                    init_gru, temporal_encoder, vibe_forward)
 
@@ -28,6 +32,9 @@ __all__ = [
     "humor_train_loss", "make_humor_train_step", "init_humor", "pack_state",
     "split_state",
     "humor_infer_seq", "humor_transition_prior_loss",
+    "compute_accel", "compute_error_accel", "evaluate_vibe",
+    "init_vibe_train_state", "make_vibe_train_step", "vibe_predict",
+    "vibe_trainer_fit",
     "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
     "VibeLossWeights", "init_motion_discriminator",
     "make_discriminator_train_step", "motion_discriminator",

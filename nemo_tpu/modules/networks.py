@@ -56,10 +56,25 @@ def init_fcnn(key, input_dim: int, h_dim: int, output_dim: int) -> Params:
     return {"W1": W1, "b1": b1, "W2": W2, "b2": b2, "W3": W3, "b3": b3}
 
 
+def net_precision():
+    """Matmul precision for the network MLPs (NEMO_TPU_NET_PRECISION:
+    highest|high|default, default 'highest' = the package-global pin).
+    'high' runs the TPU MXU in 3-pass bf16 (~1e-6 rel error) at ~2x the
+    6-pass 'highest' rate; the geometry/body math stays HIGHEST regardless
+    (house convention — mm-level eval parity lives there, not here)."""
+    import os
+    name = os.environ.get("NEMO_TPU_NET_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
+def _dot(x, w):
+    return jnp.dot(x, w, precision=net_precision())
+
+
 def apply_fcnn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    h = jax.nn.relu(x @ p["W1"] + p["b1"])
-    h = jax.nn.relu(h @ p["W2"] + p["b2"])
-    return h @ p["W3"] + p["b3"]
+    h = jax.nn.relu(_dot(x, p["W1"]) + p["b1"])
+    h = jax.nn.relu(_dot(h, p["W2"]) + p["b2"])
+    return _dot(h, p["W3"]) + p["b3"]
 
 
 # ---------------------------------------------------------------------------
@@ -103,10 +118,10 @@ def apply_motion_net(p: Params, x: jnp.ndarray, n_joints: int
     """
     B = x.shape[0]
     z = jax.nn.relu(apply_fcnn(p["trunk"], x))
-    rot6d = z @ p["W_rot"] + p["b_rot"]                    # (B, n_joints*6)
+    rot6d = _dot(z, p["W_rot"]) + p["b_rot"]               # (B, n_joints*6)
     rotmat = rot6d_to_rotmat(rot6d.reshape(B, n_joints, 6))  # (B, J, 3, 3)
     pose = rotmat_to_aa(rotmat).reshape(B, n_joints * 3)
-    trans = z @ p["W_lin"] + p["b_lin"]
+    trans = _dot(z, p["W_lin"]) + p["b_lin"]
     orient = {"rot6d": rot6d[:, :6], "rotmat": rotmat[:, :1],
               "pose": pose[:, :3]}
     pose_d = {"rot6d": rot6d[:, 6:], "rotmat": rotmat[:, 1:],
@@ -135,7 +150,7 @@ def apply_rot_net(p: Params, x: jnp.ndarray, n_joints: int) -> dict:
     """Returns {'rot6d', 'rotmat', 'pose'} like the reference RotNet."""
     B = x.shape[0]
     z = jax.nn.relu(apply_fcnn(p["trunk"], x))
-    rot6d = z @ p["W_rot"] + p["b_rot"]
+    rot6d = _dot(z, p["W_rot"]) + p["b_rot"]
     rotmat = rot6d_to_rotmat(rot6d.reshape(B, n_joints, 6))
     pose = rotmat_to_aa(rotmat).reshape(B, n_joints * 3)
     return {"rot6d": rot6d, "rotmat": rotmat, "pose": pose}

@@ -112,9 +112,10 @@ def _compiler_params(tb: int):
 
 
 def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
-                tb: int = 128, keep_pad: bool = False) -> jnp.ndarray:
+                tb: int = 0, keep_pad: bool = False) -> jnp.ndarray:
     """pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv) pre-tiled host-side
     (tile_tables); only the per-call tensors are padded here."""
+    tb = tb or min(_default_tb(), pf.shape[0])
     B = pf.shape[0]
     nv, _, _, tv = pd_tiles.shape
     Vp = nv * tv
@@ -217,7 +218,8 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
 
 
 def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
-                tb: int = 128):
+                tb: int = 0):
+    tb = tb or min(_default_tb(), pf.shape[0])
     B = pf.shape[0]
     nv, _, _, tv = pd_tiles.shape
     Vp = nv * tv
@@ -281,6 +283,14 @@ def _use_pallas() -> bool:
 
 
 CANONICAL_TV = 512
+
+
+def _default_tb() -> int:
+    """Batch-tile knob (NEMO_TPU_SKIN_TB, default 128). Larger tiles mean
+    fewer grid steps with 4x the MXU work each — the backward kernel is
+    per-op-overhead-bound at tb=128 (30 small dots per grid step)."""
+    import os
+    return int(os.environ.get("NEMO_TPU_SKIN_TB", "128"))
 
 
 def skin_tables_dtype():

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--V", type=int, default=6890)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--tv", type=int, default=512)
+    ap.add_argument("--dtypes", default="f32,bf16")
+    ap.add_argument("--tbs", default="128,256")
     args = ap.parse_args()
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
@@ -90,10 +93,12 @@ def main():
     g = jnp.asarray(rng.normal(size=(B, 3, V)).astype(np.float32))
 
     results = {}
-    for dname, dtype in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-        for tb in (128, 256):
+    all_dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+    for dname in args.dtypes.split(","):
+        dtype = all_dtypes[dname]
+        for tb in [int(x) for x in args.tbs.split(",")]:
             pd_tiles, w_tiles, _ = lbs_pallas.tile_tables(
-                posedirs_t, W_t, dtype=dtype)
+                posedirs_t, W_t, tv=args.tv, dtype=dtype)
             pd_tiles = jnp.asarray(pd_tiles)
             w_tiles = jnp.asarray(w_tiles)
             nv, _, _, tv = pd_tiles.shape
@@ -122,6 +127,8 @@ def main():
             results[(dname, tb)] = (fwd(pf, A34), bwd(pf, A34, g))
 
     # parity: bf16 vs f32 at tb=128
+    if ("f32", 128) not in results or ("bf16", 128) not in results:
+        return
     o32, g32 = results[("f32", 128)]
     o16, g16 = results[("bf16", 128)]
     s = float(jnp.abs(o32).max())
