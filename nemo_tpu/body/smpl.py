@@ -306,10 +306,21 @@ def smpl_forward(model: SMPLModel,
     # shape term: S[e, j, :] = sum_v EW[e,v,j] v_shaped[v]
     S = jnp.einsum('evj,vk->ejk', model.fused_EW, v_shaped[0],
                    precision=HI)                              # (30, 24, 3)
-    Pterm = jnp.einsum('ejkp,bp->bejk', model.fused_EP, pose_feature,
-                       precision=HI)                          # (B, 30, 24, 3)
+    E = model.fused_EP.shape[0]
+    # One flat (B, 207) @ (207, E*24*3) dot: XLA lowers the 4-d einsum
+    # form 'ejkp,bp->bejk' to a convolution+slice chain costing ~180 us
+    # per step fwd+bwd at this shape; the constant transpose/reshape of
+    # fused_EP folds at compile time.
+    EP_flat = model.fused_EP.transpose(3, 0, 1, 2).reshape(207, -1)
+    Pterm = jnp.dot(pose_feature, EP_flat,
+                    precision=HI).reshape(B, E, 24, 3)
     base = S[None] + Pterm
-    ej = jnp.einsum('bjik,bejk->bei', A[:, :, :3, :3], base, precision=HI)
+    # ej[b,e,i] = sum_{j,k} A[b,j,i,k] base[b,e,j,k] as one batched
+    # (E, 72) @ (72, 3) matmul per sample
+    A_perm = A[:, :, :3, :3].transpose(0, 1, 3, 2).reshape(B, 72, 3)
+    ej = jax.lax.dot_general(
+        base.reshape(B, E, 72), A_perm,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))), precision=HI)
     ej = ej + jnp.einsum('ej,bji->bei', model.fused_ES, A[:, :, :3, 3],
                          precision=HI)
     joints54 = jnp.concatenate([posed_joints, ej], axis=1)
