@@ -21,6 +21,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..body.smpl import SMPLModel, smpl_forward
@@ -48,6 +49,7 @@ class MotionOptConfig:
     contact_vel_weight: float = 100.0      # (:450-458)
     contact_height_weight: float = 10.0    # (:460-469)
     floor_reg_weight: float = 0.167        # (:471-485)
+    init_motion_prior_weight: float = 0.075  # init-state GMM NLL (cfg :26)
     contact_height_thresh: float = 0.08    # CONTACT_HEIGHT_THRESH (:18)
     optimize_camera: bool = False          # learn cam rotation + translation
 
@@ -91,6 +93,38 @@ def _run_adam(loss_fn, params0, steps, lr):
     return p, losses
 
 
+def load_init_motion_prior(path: str) -> Dict[str, jnp.ndarray]:
+    """Load the init-state GMM (prior_gmm.npz: weights (K,), means (K, D),
+    covariances (K, D, D); D=138 = joints66 + joints_vel66 + trans_vel3 +
+    root_orient_vel3), the format train_state_prior.py:123 writes and
+    run_fitting.py:252-262 loads. Cholesky factors precomputed host-side."""
+    import os.path as osp
+
+    f = path if path.endswith(".npz") else osp.join(path, "prior_gmm.npz")
+    data = np.load(f)
+    covs = np.asarray(data["covariances"], np.float64)
+    chol = np.linalg.cholesky(covs)
+    logdet = 2.0 * np.log(np.diagonal(chol, axis1=1, axis2=2)).sum(1)
+    return {"log_weights": jnp.log(jnp.asarray(data["weights"])),
+            "means": jnp.asarray(data["means"], jnp.float32),
+            "chol": jnp.asarray(chol, jnp.float32),
+            "logdet": jnp.asarray(logdet, jnp.float32)}
+
+
+def init_state_gmm_nll(state: jnp.ndarray,
+                       prior: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """-log p(state) under the full-covariance GMM
+    (fitting_loss.py:416-429 init_motion_prior_loss); state (D,)."""
+    diff = state[None] - prior["means"]                     # (K, D)
+    y = jax.scipy.linalg.solve_triangular(
+        prior["chol"], diff[..., None], lower=True)[..., 0]  # (K, D)
+    d = state.shape[-1]
+    comp = (prior["log_weights"]
+            - 0.5 * (d * jnp.log(2 * jnp.pi) + prior["logdet"]
+                     + (y ** 2).sum(-1)))
+    return -jax.scipy.special.logsumexp(comp)
+
+
 def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                      humor_cfg: HumorConfig,
                      kp2d: jnp.ndarray,
@@ -99,6 +133,8 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                      cam_center: jnp.ndarray,
                      focal_length: float = 5000.0,
                      cfg: MotionOptConfig = MotionOptConfig(),
+                     init_motion_prior: Optional[Dict[str, jnp.ndarray]]
+                     = None,
                      key=None) -> Dict[str, jnp.ndarray]:
     """Fit a motion of T frames to 2D keypoints with the HuMoR prior.
 
@@ -106,6 +142,10 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
       kp2d: (T, 25, 3) keypoints + confidence (OP-25 subset of the 49).
       init_pose: (T, 72) per-frame initializer (e.g. VIBE).
       cam_t: (3,) camera translation; identity rotation (HuMoR convention).
+      init_motion_prior: optional init-state GMM (load_init_motion_prior);
+        adds cfg.init_motion_prior_weight * NLL(x0 state) in stage 3, the
+        custom entry's --init-motion-prior (fitting config.py:104,
+        fit_rgb_demo cfg stage-3 weight 0.075).
     Returns dict with fitted 'pose' (T, 72), 'trans' (T, 3), 'z' latents,
     per-stage loss histories.
     """
@@ -236,6 +276,16 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         loss = (data + cfg.motion_prior_weight * prior
                 + cfg.joint_consistency_weight * consist
                 + cfg.bone_length_weight * bone)
+        if init_motion_prior is not None:
+            # GMM prior over [joints, joints_vel, trans_vel,
+            # root_orient_vel] of the initial state (fitting_loss.py:
+            # 416-429; stage-3 weight 0.075 in fit_rgb_demo cfg)
+            d0 = split_state(p["x0"][0])
+            init_state = jnp.concatenate(
+                [d0["joints"], d0["joints_vel"], d0["trans_vel"],
+                 d0["root_orient_vel"]], axis=-1).reshape(-1)
+            loss = loss + cfg.init_motion_prior_weight * \
+                init_state_gmm_nll(init_state, init_motion_prior)
         if humor_cfg.pred_contacts and (cfg.contact_vel_weight > 0
                                         or cfg.contact_height_weight > 0):
             conf = jax.nn.sigmoid(out["contacts"][0])       # (T-1, 9)

@@ -89,3 +89,45 @@ def test_fitting_loss_completion_terms(rng):
     for k in ("stage1_loss", "stage2_loss", "stage3_loss"):
         assert np.isfinite(np.asarray(out[k])).all()
     assert float(out["stage3_loss"][-1]) <= float(out["stage3_loss"][0])
+
+
+def test_init_state_gmm_prior(rng, tmp_path):
+    """load_init_motion_prior reads the reference's prior_gmm.npz format;
+    the NLL matches an independent scipy mixture evaluation and wires into
+    stage 3 (fitting_loss.py:416-429, config.py:104)."""
+    from scipy.stats import multivariate_normal
+
+    from nemo_tpu.models.humor_fit import (init_state_gmm_nll,
+                                           load_init_motion_prior)
+
+    K, D = 3, 138
+    w = rng.rand(K) + 0.1
+    w /= w.sum()
+    means = rng.randn(K, D).astype(np.float64)
+    A = rng.randn(K, D, D) * 0.05
+    covs = np.einsum('kij,klj->kil', A, A) + np.eye(D)[None]
+    np.savez(tmp_path / "prior_gmm.npz", weights=w, means=means,
+             covariances=covs)
+    prior = load_init_motion_prior(str(tmp_path))
+
+    x = rng.randn(D).astype(np.float32)
+    got = float(init_state_gmm_nll(jnp.asarray(x), prior))
+    dens = sum(wk * multivariate_normal.pdf(x, m, c)
+               for wk, m, c in zip(w, means, covs))
+    np.testing.assert_allclose(got, -np.log(dens), rtol=1e-4)
+
+    # wiring: the term is finite + differentiable inside the stage-3 fit
+    smpl = synthetic_smpl_model(num_vertices=200, seed=0)
+    hcfg = HumorConfig(latent_size=8)
+    hp = init_humor(jax.random.PRNGKey(0), hcfg)
+    T = 4
+    kp2d = jnp.concatenate(
+        [jnp.asarray(rng.uniform(0, 224, size=(T, 25, 2)), jnp.float32),
+         jnp.ones((T, 25, 1))], -1)
+    init_pose = jnp.asarray(0.2 * rng.randn(T, 72).astype(np.float32))
+    cfg = MotionOptConfig(steps_stage1=2, steps_stage2=2, steps_stage3=3)
+    out = humor_motion_fit(smpl, hp, hcfg, kp2d, init_pose,
+                           jnp.asarray([0.0, 0.0, 8.0]),
+                           jnp.asarray([112.0, 112.0]), cfg=cfg,
+                           init_motion_prior=prior)
+    assert np.isfinite(np.asarray(out["stage3_loss"])).all()
