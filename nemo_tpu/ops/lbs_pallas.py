@@ -285,6 +285,13 @@ def _use_pallas() -> bool:
 CANONICAL_TV = 512
 
 
+def _default_tv() -> int:
+    """Vertex-tile knob (NEMO_TPU_SKIN_TV, default 512); bigger tiles mean
+    fewer grid steps with wider lanes per dot."""
+    import os
+    return int(os.environ.get("NEMO_TPU_SKIN_TV", str(CANONICAL_TV)))
+
+
 def _default_tb() -> int:
     """Batch-tile knob (NEMO_TPU_SKIN_TB, default 128). Larger tiles mean
     fewer grid steps with 4x the MXU work each — the backward kernel is
@@ -304,7 +311,7 @@ def skin_tables_dtype():
 
 
 def tile_tables(posedirs_t: np.ndarray, W_t: np.ndarray,
-                tv: int = CANONICAL_TV, dtype=None):
+                tv: int = 0, dtype=None):
     """Pre-tile the frozen model tables into kernel layout (host, once).
 
     Returns (pd_tiles (nv, 3, 207, tv), w_tiles (nv, 24, tv), V) with the
@@ -315,6 +322,7 @@ def tile_tables(posedirs_t: np.ndarray, W_t: np.ndarray,
     """
     posedirs_t = np.asarray(posedirs_t)
     W_t = np.asarray(W_t)
+    tv = tv or _default_tv()
     dtype = skin_tables_dtype() if dtype is None else dtype
     V = posedirs_t.shape[-1]
     pad_v = (-V) % tv
