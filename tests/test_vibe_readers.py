@@ -512,3 +512,49 @@ def test_bbox_from_kp2d():
     batched = bbox_from_kp2d(np.stack([kp, kp + 1]))
     assert batched.shape == (2, 4)
     np.testing.assert_allclose(batched[1], [6, 3, 11, 11])
+
+
+def test_build_vibe_db_cli(tmp_path, capsys):
+    """CLI surface over the readers: penn_action fixture -> db + shards."""
+    from scipy.io import savemat
+
+    from nemo_tpu.cli.build_vibe_db import main
+
+    labels = tmp_path / "data" / "labels"
+    os.makedirs(labels)
+    rng = np.random.default_rng(13)
+    F = 20
+    savemat(str(labels / "0001.mat"),
+            {"x": rng.uniform(10, 100, size=(F, 13)),
+             "y": rng.uniform(10, 100, size=(F, 13)),
+             "visibility": np.ones((F, 13))})
+    out_db = tmp_path / "penn_db.pt"
+    shards = tmp_path / "shards"
+    rc = main(["--dataset", "penn_action", "--dir", str(tmp_path / "data"),
+               "--out", str(out_db), "--shards_out", str(shards),
+               "--seqlen", "8"])
+    assert rc == 0
+    assert out_db.exists()
+    from nemo_tpu.data.sharded import ShardedDataset
+    ds = ShardedDataset(str(shards))
+    assert len(ds) == 2  # 20 frames -> two 8-frame windows
+    cap = capsys.readouterr().out
+    assert "1 sequences" in cap
+
+
+def test_build_vibe_db_cli_amass(tmp_path):
+    from nemo_tpu.cli.build_vibe_db import main
+
+    d = tmp_path / "CMU" / "01"
+    os.makedirs(d)
+    rng = np.random.default_rng(14)
+    np.savez(d / "a_poses.npz", poses=rng.normal(size=(400, 156)),
+             trans=np.zeros((400, 3)), betas=np.zeros(16),
+             mocap_framerate=np.array(100.0))
+    shards = tmp_path / "shards"
+    rc = main(["--dataset", "amass", "--dir", str(tmp_path),
+               "--shards_out", str(shards), "--seqlen", "16"])
+    assert rc == 0
+    from nemo_tpu.data.sharded import ShardedDataset
+    ds = ShardedDataset(str(shards))
+    assert len(ds) == 100 // 16
