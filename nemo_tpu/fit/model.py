@@ -367,7 +367,11 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     else:
         n_verts = assets.smpl.num_vertices
     n_real = verts_orig.shape[0] * 3 * n_verts
-    v2v = jnp.abs(jax.lax.stop_gradient(verts_rec) - verts_orig).sum() / n_real
+    # upcast before subtracting/reducing so the math runs in f32 even when
+    # the skin-io knob emits bf16 meshes (the cast fuses into the read)
+    diff = (jax.lax.stop_gradient(verts_rec).astype(jnp.float32)
+            - verts_orig.astype(jnp.float32))
+    v2v = jnp.abs(diff).sum() / n_real
     kl = vposer_kl_to_std_normal(mu, scale)
     return v2v, kl
 

@@ -99,7 +99,17 @@ def _fwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, out_ref,
         acc = m_plane(i * 4 + 3)                        # translation
         for k in range(3):
             acc = acc + m_plane(i * 4 + k) * vp[k]
-        out_ref[:, i, :] = acc
+        out_ref[:, i, :] = acc.astype(out_ref.dtype)
+
+
+def skin_io_dtype():
+    """Mesh-output dtype knob (NEMO_TPU_SKIN_IO_BF16=1 -> bf16). The fwd
+    kernels and the v2v L1 reduce run at HBM peak in-scan; bf16 meshes
+    halve that traffic. The v2v loss upcasts the difference to f32 before
+    reducing, and the bwd kernel upcasts the (then-bf16) cotangent."""
+    import os
+    return (jnp.bfloat16 if os.environ.get("NEMO_TPU_SKIN_IO_BF16",
+                                           "0") == "1" else jnp.float32)
 
 
 def _compiler_params(tb: int):
@@ -133,24 +143,28 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
     vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)     # (nv, 3, tv)
 
     kernel = functools.partial(_fwd_kernel, tb=tb, tv=tv)
+    # grid (nv, nB): batch innermost, so the (pd, w, vsh) blocks are
+    # constant across the inner steps and stream from HBM once per vertex
+    # tile instead of once per (batch, vertex) pair — the fwd kernel runs
+    # at HBM peak in-scan and the tables were most of its traffic.
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // tb, nv),
+        grid=(nv, Bp // tb),
         in_specs=[
-            pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
+            pl.BlockSpec((tb, 207), lambda vi, bi: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tb, 24), lambda bi, vi: (0, bi, 0),
+            pl.BlockSpec((12, tb, 24), lambda vi, bi: (0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, tv), lambda bi, vi: (vi, 0, 0),
+            pl.BlockSpec((1, 3, tv), lambda vi, bi: (vi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 207, tv), lambda bi, vi: (vi, 0, 0, 0),
+            pl.BlockSpec((1, 3, 207, tv), lambda vi, bi: (vi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, tv), lambda bi, vi: (vi, 0, 0),
+            pl.BlockSpec((1, 24, tv), lambda vi, bi: (vi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
+        out_specs=pl.BlockSpec((tb, 3, tv), lambda vi, bi: (bi, 0, vi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), skin_io_dtype()),
         **_compiler_params(tb),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles)
     # Lane pads are exactly zero (w_tiles pad columns zero every m_plane,
@@ -184,7 +198,9 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
     vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
                   precision=prec)
           + vsh[k] for k in range(3)]                   # (TB, TV) x3
-    g = [g_ref[:, i, :] for i in range(3)]              # (TB, TV) x3
+    # the cotangent arrives in the fwd output dtype (bf16 when the io
+    # knob is on) — upcast for the elementwise math, accumulate f32
+    g = [g_ref[:, i, :].astype(jnp.float32) for i in range(3)]
 
     # g_A planes: gA_l = gm_l @ w^T with gm_{i*4+k} = g_i * vph_k
     for i in range(3):
@@ -361,7 +377,8 @@ def skin_verts_t(V: int, pf: jnp.ndarray, A34: jnp.ndarray,
     if _use_pallas():
         return _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V)
     pd, w = _untile(pd_tiles, w_tiles, V)
-    return _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w)
+    return _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w).astype(
+        skin_io_dtype())
 
 
 def _skin_fwd(V, pf, A34, v_shaped_t, pd_tiles, w_tiles):
@@ -376,7 +393,8 @@ def _skin_bwd(V, res, g):
                                     V, g)
     else:
         pd, w = _untile(pd_tiles, w_tiles, V)
-        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w, g)
+        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w,
+                                 g.astype(jnp.float32))
     # frozen model constants get zero grads
     return (gpf, ga, gvsh, jnp.zeros_like(pd_tiles),
             jnp.zeros_like(w_tiles))
@@ -421,7 +439,8 @@ def skin_verts_t_padded(V: int, pf: jnp.ndarray, A34: jnp.ndarray,
         return _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
                            keep_pad=True)
     pd, w = _untile(pd_tiles, w_tiles, V)
-    out = _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w)
+    out = _skin_verts_t_xla(pf, A34, v_shaped_t, pd, w).astype(
+        skin_io_dtype())
     return jnp.pad(out, ((0, 0), (0, 0), (0, nv * tv - V)))
 
 
@@ -437,7 +456,8 @@ def _skin_bwd_padded(V, res, g):
                                     V, g)
     else:
         pd, w = _untile(pd_tiles, w_tiles, V)
-        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w, g[..., :V])
+        gpf, ga, gvsh = _bwd_xla(pf, A34, v_shaped_t, pd, w,
+                                 g[..., :V].astype(jnp.float32))
     return (gpf, ga, gvsh, jnp.zeros_like(pd_tiles),
             jnp.zeros_like(w_tiles))
 
