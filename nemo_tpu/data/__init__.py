@@ -10,7 +10,9 @@ from .tracker import (bbox_to_cs, crop_to_image_coords, iou,
                       track_bboxes_sort)
 from .smoothing import (OneEuroFilter, smooth_bbox_params,
                         smooth_pose_sequence)
-from .crops import bbox_from_keypoints, crop_image, get_single_image_crop
+from .crops import (bbox_from_keypoints, crop_image, crop_scale, flip_img,
+                    get_single_image_crop, get_transform, rot_aa,
+                    transform_point, uncrop)
 from .video import (frames_to_video, openpose_command, run_openpose,
                     video_to_frames)
 from .openpose import (flip_horizontal, load_gt2d_pkl_dir,
@@ -44,7 +46,9 @@ __all__ = [
     "read_penn_action",
     "load_baseline_pickle", "load_vibe_pickle",
     "select_person_near_gt", "vibe_to_theta",
-    "bbox_from_keypoints", "crop_image", "get_single_image_crop",
+    "bbox_from_keypoints", "crop_image", "crop_scale", "flip_img",
+    "get_single_image_crop", "get_transform", "rot_aa", "transform_point",
+    "uncrop",
     "frames_to_video", "openpose_command", "run_openpose", "video_to_frames",
     "fit_gt_camera", "bbox_to_cs", "crop_to_image_coords", "iou",
     "run_vibe_on_tracks", "track_bboxes", "track_bboxes_sort",

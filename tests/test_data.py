@@ -329,3 +329,80 @@ def test_read_penn_action_layout(rng, tmp_path):
     assert db["bbox"].shape == (F, 4)
     assert (db["bbox"][:, 2:] > 0).all()
     assert (db["vid_name"] == "0001").all()
+
+
+class TestSpinCropFrame:
+    """SPIN (center, scale) crop geometry (utils/imutils.py:12-139)."""
+
+    def test_transform_roundtrip(self):
+        from nemo_tpu.data.crops import transform_point
+
+        center, scale, res = (120.0, 80.0), 0.9, (224, 224)
+        pt = np.array([50, 70])
+        back = transform_point(
+            transform_point(pt, center, scale, res),
+            center, scale, res, invert=True)
+        np.testing.assert_allclose(back, pt, atol=2)
+
+    def test_transform_matches_reference_formula(self):
+        from nemo_tpu.data.crops import get_transform
+
+        center, scale, res = (100.0, 60.0), 1.2, (224, 224)
+        t = get_transform(center, scale, res)
+        h = 200 * scale
+        assert t[0, 0] == 224 / h and t[1, 1] == 224 / h
+        np.testing.assert_allclose(t[0, 2], 224 * (-100 / h + 0.5))
+        # rotation keeps the crop center fixed
+        t_rot = get_transform(center, scale, res, rot=30)
+        c_out = t @ np.array([center[0], center[1], 1.0])
+        c_rot = t_rot @ np.array([center[0], center[1], 1.0])
+        np.testing.assert_allclose(c_out[:2], c_rot[:2], atol=1e-9)
+
+    def test_crop_scale_picks_window(self):
+        from nemo_tpu.data.crops import crop_scale
+
+        img = np.zeros((200, 200, 3), np.float32)
+        img[90:110, 90:110] = 1.0  # bright square at the center
+        out = crop_scale(img, (100, 100), 0.2, res=(40, 40))  # 40px window
+        assert out.shape == (40, 40, 3)
+        assert out[20, 20, 0] > 0.9      # center stays bright
+        assert out[2, 2, 0] < 0.2        # corners outside the square
+
+    def test_crop_scale_rotation_invariance_of_center(self):
+        from nemo_tpu.data.crops import crop_scale
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(150, 150, 3).astype(np.float32)
+        img[70:80, 70:80] = 1.0
+        a = crop_scale(img, (75, 75), 0.25, res=(50, 50))
+        b = crop_scale(img, (75, 75), 0.25, res=(50, 50), rot=90)
+        # the bright center square is rotation-invariant
+        assert abs(float(a[25, 25, 0]) - float(b[25, 25, 0])) < 0.1
+
+    def test_uncrop_inverts_placement(self):
+        from nemo_tpu.data.crops import crop_scale, uncrop
+
+        img = np.zeros((100, 100), np.float32)
+        img[40:60, 40:60] = 1.0
+        crop = crop_scale(img[..., None], (50, 50), 0.3,
+                          res=(64, 64))[..., 0]
+        back = uncrop(crop.astype(np.float32), (50, 50), 0.3, (100, 100))
+        assert back[50, 50] > 0.9
+        assert back[10, 10] < 0.1
+
+    def test_rot_aa_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+
+        from nemo_tpu.data.crops import rot_aa
+
+        aa = np.array([0.3, -0.5, 0.2])
+        out = rot_aa(aa, 40.0)
+        want = (Rotation.from_rotvec([0, 0, np.deg2rad(-40.0)])
+                * Rotation.from_rotvec(aa)).as_rotvec()
+        np.testing.assert_allclose(out, want, atol=1e-9)
+
+    def test_flip_img(self):
+        from nemo_tpu.data.crops import flip_img
+
+        img = np.arange(12).reshape(2, 6).astype(np.float32)
+        np.testing.assert_allclose(flip_img(img)[:, 0], img[:, -1])
