@@ -307,3 +307,45 @@ class TestPrettyRenderer:
         # the checkerboard must contribute both dark and light pixels
         lum = img.mean(-1)
         assert (lum < 0.3).any() and (lum > 0.7).any()
+
+
+def test_binned_rasterizer_matches_scan(rng):
+    """rasterize_triangles_binned == rasterize_triangles on a random mesh
+    (same z-buffer winners, same barycentrics)."""
+    from nemo_tpu.render.mesh import (rasterize_triangles,
+                                      rasterize_triangles_binned)
+
+    # realistic mesh-like faces: small triangles around random centres
+    F = 120
+    centers = np.stack([rng.uniform(-0.8, 0.8, F),
+                        rng.uniform(-0.8, 0.8, F),
+                        rng.uniform(3, 5, F)], 1)
+    offs = rng.uniform(-0.12, 0.12, size=(F, 3, 3))
+    verts = (centers[:, None] + offs).reshape(-1, 3).astype(np.float32)
+    faces = np.arange(3 * F).reshape(F, 3)
+    hw = (96, 128)
+    args = (jnp.asarray(verts), faces, 100.0, (64.0, 48.0), hw)
+    z1, f1, b1 = rasterize_triangles(*args, patch=96)
+    z2, f2, b2 = rasterize_triangles_binned(*args, tile=32,
+                                            faces_per_tile=512, chunk=64)
+    z1, z2 = np.asarray(z1), np.asarray(z2)
+    cov1, cov2 = np.isfinite(z1), np.isfinite(z2)
+    np.testing.assert_array_equal(cov1, cov2)
+    np.testing.assert_allclose(z1[cov1], z2[cov2], rtol=1e-5)
+    # same winning faces except where two faces tie in depth
+    same = np.asarray(f1) == np.asarray(f2)
+    assert same[cov1].mean() > 0.99
+    np.testing.assert_allclose(np.asarray(b1)[same & cov1],
+                               np.asarray(b2)[same & cov1], atol=1e-4)
+
+
+def test_binned_rasterizer_empty_and_behind(rng):
+    from nemo_tpu.render.mesh import rasterize_triangles_binned
+
+    verts = np.array([[0, 0, -1.0], [1, 0, -1.0], [0, 1, -1.0]],
+                     np.float32)
+    z, f, b = rasterize_triangles_binned(
+        jnp.asarray(verts), np.array([[0, 1, 2]]), 100.0, (32.0, 32.0),
+        (64, 64), tile=32, faces_per_tile=8, chunk=4)
+    assert not np.isfinite(np.asarray(z)).any()
+    assert (np.asarray(f) == -1).all()
