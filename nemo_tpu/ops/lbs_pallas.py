@@ -112,13 +112,18 @@ def skin_io_dtype():
                                            "0") == "1" else jnp.float32)
 
 
-def _compiler_params(tb: int):
-    """Scoped-VMEM headroom for batch tiles past 128: the default 16 MB
-    limit OOMs the tb=256 backward (22.6 MB of stack)."""
-    if tb <= 128:
+def _compiler_params(tb: int, semantics=None):
+    """dimension_semantics hints (fwd grid is fully parallel; the bwd
+    accumulates over the vertex dim) + scoped-VMEM headroom for batch
+    tiles past 128 (the default 16 MB limit OOMs the tb=256 backward)."""
+    kw = {}
+    if semantics is not None:
+        kw["dimension_semantics"] = semantics
+    if tb > 128:
+        kw["vmem_limit_bytes"] = 64 * 1024 * 1024
+    if not kw:
         return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=64 * 1024 * 1024)}
+    return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
 def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
@@ -165,7 +170,7 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
         out_specs=pl.BlockSpec((tb, 3, tv), lambda vi, bi: (bi, 0, vi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 3, Vp), skin_io_dtype()),
-        **_compiler_params(tb),
+        **_compiler_params(tb, ("parallel", "parallel")),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles)
     # Lane pads are exactly zero (w_tiles pad columns zero every m_plane,
     # including the translation), so padded consumers are safe.
@@ -282,7 +287,7 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
             jax.ShapeDtypeStruct((12, Bp, 24), jnp.float32),
             jax.ShapeDtypeStruct((Bp // tb, nv, 3, tv), jnp.float32),
         ],
-        **_compiler_params(tb),
+        **_compiler_params(tb, ("parallel", "arbitrary")),
     )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles, g_p)
 
     gvsh = gvsh_tiles.sum(axis=0).transpose(1, 0, 2).reshape(3, Vp)[:, :V]
