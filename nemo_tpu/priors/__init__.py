@@ -6,8 +6,8 @@ from .robustifiers import angle_prior, gmof
 from .smplify import (smplify_body_fitting_loss, smplify_camera_fitting_loss,
                       smplify_fit)
 from .vposer_train import (VPoserTrainConfig, load_amass_pose_data,
-                           make_vposer_train_step, train_vposer,
-                           vposer_train_loss)
+                           make_vposer_train_step, prepare_vposer_dataset,
+                           train_vposer, vposer_train_loss)
 from .vposer import (
     VPoserConfig,
     convert_torch_state_dict,
@@ -25,6 +25,6 @@ __all__ = [
     "smplify_camera_fitting_loss", "smplify_fit",
     "VPoserConfig", "convert_torch_state_dict",
     "init_vposer", "load_vposer", "vposer_decode", "vposer_encode",
-    "vposer_kl_to_std_normal", "VPoserTrainConfig", "make_vposer_train_step",
+    "vposer_kl_to_std_normal", "VPoserTrainConfig", "make_vposer_train_step", "prepare_vposer_dataset",
     "train_vposer", "vposer_train_loss", "load_amass_pose_data",
 ]

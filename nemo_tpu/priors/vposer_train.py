@@ -47,6 +47,55 @@ def load_amass_pose_data(paths, max_per_file: Optional[int] = None
     return np.concatenate(banks, axis=0)
 
 
+def prepare_vposer_dataset(out_dir: str, amass_splits: dict, amass_dir: str,
+                           keep_rate: float = 0.3, seed: int = 0,
+                           shard_size: int = 4096) -> dict:
+    """AMASS -> per-split VPoser training banks, the reference's
+    prepare_vposer_datasets (human_body_prior/data/prepare_data.py:69-133):
+    per sequence, frames in the middle 10-90% window are randomly
+    subsampled at keep_rate*0.8 (skipping initial/final T-poses), and the
+    pose_body (63) + root_orient (3) columns are stored. Output: sharded
+    npz banks (data/sharded.write_shards) per split instead of the
+    reference's .pt blobs; feed with batch_iterator.
+
+    amass_splits: {'train': ['CMU', ...], 'vald': [...], 'test': [...]}.
+    Returns {split: num_frames}.
+    """
+    import glob as _glob
+    import os.path as osp
+
+    from ..data.sharded import write_shards
+
+    rng = np.random.RandomState(seed)
+    counts = {}
+    for split_name, ds_names in amass_splits.items():
+        pb, ro = [], []
+        for ds_name in ds_names:
+            for fn in sorted(_glob.glob(
+                    osp.join(amass_dir, ds_name, "*", "*_poses.npz"))):
+                poses = np.asarray(np.load(fn)["poses"], np.float32)
+                N = len(poses)
+                lo, hi = int(0.1 * N), int(0.9 * N)
+                if hi - lo < 1:
+                    continue
+                k = int(keep_rate * 0.8 * N)
+                if k < 1:
+                    continue
+                ids = rng.choice(np.arange(lo, hi), min(k, hi - lo),
+                                 replace=False)
+                pb.append(poses[ids, 3:66])
+                ro.append(poses[ids, :3])
+        if not pb:
+            counts[split_name] = 0
+            continue
+        arrays = {"pose_body": np.concatenate(pb),
+                  "root_orient": np.concatenate(ro)}
+        write_shards(arrays, osp.join(out_dir, split_name),
+                     shard_size=shard_size)
+        counts[split_name] = int(arrays["pose_body"].shape[0])
+    return counts
+
+
 @dataclasses.dataclass(frozen=True)
 class VPoserTrainConfig:
     lr: float = 1e-3

@@ -162,3 +162,31 @@ class TestVPoser:
         h2 = jax.nn.leaky_relu(h1 @ p["dec_w2"] + p["dec_b2"], 0.01)
         out6d = h2 @ p["dec_w3"] + p["dec_b3"]
         np.testing.assert_allclose(np.asarray(out6d), dec6d_t, atol=2e-3)
+
+
+def test_prepare_vposer_dataset(tmp_path):
+    """AMASS split prep: middle-window trim + keep-rate subsample into
+    sharded pose_body/root_orient banks (prepare_data.py:69-133)."""
+    import numpy as np
+
+    from nemo_tpu.data.sharded import ShardedDataset
+    from nemo_tpu.priors.vposer_train import prepare_vposer_dataset
+
+    rng = np.random.RandomState(0)
+    amass = tmp_path / "amass"
+    for ds, subj in [("CMU", "01"), ("KIT", "05")]:
+        d = amass / ds / subj
+        d.mkdir(parents=True)
+        np.savez(d / f"{subj}_poses.npz",
+                 poses=rng.randn(200, 156).astype(np.float32))
+    out = tmp_path / "vposer_ds"
+    counts = prepare_vposer_dataset(
+        str(out), {"train": ["CMU"], "vald": ["KIT"]}, str(amass))
+    # keep_rate 0.3 * 0.8 * 200 = 48 frames per file
+    assert counts == {"train": 48, "vald": 48}
+    from nemo_tpu.data.sharded import batch_iterator
+    ds = ShardedDataset(str(out / "train"))
+    assert len(ds) == 48
+    batch = next(batch_iterator(ds, 10, epochs=1))
+    assert batch["pose_body"].shape == (10, 63)
+    assert batch["root_orient"].shape == (10, 3)
