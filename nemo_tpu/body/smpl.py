@@ -422,3 +422,37 @@ def smpl_verts_t_subset(model: SMPLModel, betas: jnp.ndarray,
     vsh_sub = v_shaped[0].T[:, vidx]                       # (3, n)
     return skin_verts_t(int(vidx.shape[0]), pf, A34, vsh_sub,
                         pd_tiles, w_tiles)
+
+
+def smpl_v2v_l1_sum(model: SMPLModel, betas: jnp.ndarray,
+                    body_rot_o: jnp.ndarray, orient_rot_o: jnp.ndarray,
+                    body_rot_r: jnp.ndarray, orient_rot_r: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """sum |verts(rec) - verts(orig)| through the fused v2v kernel
+    (ops/lbs_pallas.skin_v2v_l1) — the VPoser v2v objective without
+    materializing either mesh. The rec side is a constant (detached), like
+    the reference's vposer_loss (:2786-2793). Shared betas (1, 10)."""
+    from ..ops.lbs_pallas import skin_v2v_l1
+
+    v_shaped = model.v_template + jnp.einsum(
+        'bl,mkl->bmk', betas, model.shapedirs, precision=HI)
+    if v_shaped.shape[0] != 1:
+        raise NotImplementedError("smpl_v2v_l1_sum requires shared betas")
+    J = jnp.einsum('jv,bvk->bjk', model.J_regressor, v_shaped, precision=HI)
+    ident = jnp.eye(3)
+
+    def side(body_rot, orient_rot):
+        B = body_rot.shape[0]
+        rot_mats = jnp.concatenate(
+            [jnp.broadcast_to(orient_rot.reshape(-1, 1, 3, 3),
+                              (B, 1, 3, 3)), body_rot], axis=1)
+        pf = (rot_mats[:, 1:] - ident).reshape(B, 23 * 9)
+        R_g, _, t_rel = fk_rt(rot_mats, J, model.parents)
+        A34 = jnp.concatenate([R_g, t_rel[..., None]], axis=-1).reshape(
+            B, NUM_JOINTS, 12)
+        return pf, A34
+
+    pf_o, A_o = side(body_rot_o, orient_rot_o)
+    pf_r, A_r = side(body_rot_r, orient_rot_r)
+    return skin_v2v_l1(model.num_vertices, pf_o, A_o, v_shaped[0].T,
+                       model.pd_tiles, model.w_tiles, pf_r, A_r)

@@ -355,23 +355,26 @@ def vposer_losses(params: Params, assets: NemoAssets, poses: jnp.ndarray,
     recon = jnp.concatenate(
         [dec["pose_body"].reshape(B, 63), poses[:, 63:]], axis=1)
 
-    # Two B-sized forwards measure fastest here (2B-batching was tried twice:
-    # it doubles FK tensor traffic and scheduled worse both with XLA and
-    # Pallas skinning).
-    verts_orig = _smpl_verts_from_aa(params, assets, poses, orient6d)
-    verts_rec = _smpl_verts_from_aa(params, assets, recon, orient6d)
-    # outputs are lane-padded: mean over the TRUE element count (subset
-    # path returns exactly (B, 3, n) — its shape IS the element count)
-    if assets.v2v_vidx is not None:
-        n_verts = int(assets.v2v_vidx.shape[0])
+    if assets.v2v_vidx is None:
+        # full mesh: the fused v2v kernel skins both pose sets and reduces
+        # |diff| in one program — neither (B, 3, V) mesh ever hits HBM,
+        # and the rec side is a constant exactly like the reference's
+        # detached reconstruction
+        from ..body.smpl import smpl_v2v_l1_sum
+        rot_o = batch_rodrigues(poses.reshape(B, 23, 3))
+        rot_r = batch_rodrigues(recon.reshape(B, 23, 3))
+        orient_rot = rot6d_to_rotmat(orient6d)[:, None]
+        total = smpl_v2v_l1_sum(assets.smpl, params["betas"], rot_o,
+                                orient_rot, rot_r, orient_rot)
+        v2v = total / (B * 3 * assets.smpl.num_vertices)
     else:
-        n_verts = assets.smpl.num_vertices
-    n_real = verts_orig.shape[0] * 3 * n_verts
-    # upcast before subtracting/reducing so the math runs in f32 even when
-    # the skin-io knob emits bf16 meshes (the cast fuses into the read)
-    diff = (jax.lax.stop_gradient(verts_rec).astype(jnp.float32)
-            - verts_orig.astype(jnp.float32))
-    v2v = jnp.abs(diff).sum() / n_real
+        # vertex-subset path (cfg.vp_v2v_n_verts): two small skinnings
+        verts_orig = _smpl_verts_from_aa(params, assets, poses, orient6d)
+        verts_rec = _smpl_verts_from_aa(params, assets, recon, orient6d)
+        n_real = B * 3 * int(assets.v2v_vidx.shape[0])
+        diff = (jax.lax.stop_gradient(verts_rec).astype(jnp.float32)
+                - verts_orig.astype(jnp.float32))
+        v2v = jnp.abs(diff).sum() / n_real
     kl = vposer_kl_to_std_normal(mu, scale)
     return v2v, kl
 

@@ -468,3 +468,154 @@ def _skin_bwd_padded(V, res, g):
 
 
 skin_verts_t_padded.defvjp(_skin_fwd_padded, _skin_bwd_padded)
+
+
+# ---------------------------------------------------------------------------
+# fused v2v L1: both skinnings + |diff| reduction in one kernel
+# ---------------------------------------------------------------------------
+
+def _v2v_fwd_kernel(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref, pd_ref,
+                    w_ref, sign_ref, psum_ref, *, tb: int, tv: int):
+    """Per (vi, bi) tile: skin BOTH pose sets, emit sign(rec - orig) (bf16)
+    and the partial sum of |rec - orig| — the meshes never touch HBM.
+    Math identical to two _fwd_kernel invocations + abs-reduce."""
+    w = w_ref[0]
+    vsh = vsh_ref[0]
+    prec = (jax.lax.Precision.DEFAULT if w.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+    def side(pf_ref, a_ref):
+        pf = pf_ref[:, :]
+        vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
+                      precision=prec) + vsh[k] for k in range(3)]
+
+        def m_plane(l):
+            return jnp.dot(a_ref[l], w, preferred_element_type=jnp.float32,
+                           precision=prec)
+        outs = []
+        for i in range(3):
+            acc = m_plane(i * 4 + 3)
+            for k in range(3):
+                acc = acc + m_plane(i * 4 + k) * vp[k]
+            outs.append(acc)
+        return outs
+
+    o = side(pf_o_ref, a_o_ref)
+    r = side(pf_r_ref, a_r_ref)
+    total = jnp.zeros((), jnp.float32)
+    for i in range(3):
+        diff = r[i] - o[i]
+        sign_ref[:, i, :] = jnp.sign(diff).astype(sign_ref.dtype)
+        total = total + jnp.sum(jnp.abs(diff))
+    # scalar partial in an (8, 128) tile (TPU min block granularity;
+    # iota+where — .at[].set lowers to scatter, unsupported in Mosaic)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    psum_ref[0, 0] = jnp.where((row == 0) & (col == 0), total, 0.0)
+
+
+def _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t, pd_tiles, w_tiles, V,
+                    tb: int = 0):
+    tb = tb or min(_default_tb(), pf_o.shape[0])
+    B = pf_o.shape[0]
+    nv, _, _, tv = pd_tiles.shape
+    Vp = nv * tv
+    pad_b = (-B) % tb
+    Bp = B + pad_b
+
+    cdt = pd_tiles.dtype
+    prep_pf = lambda pf: jnp.pad(pf.astype(cdt), ((0, pad_b), (0, 0)))
+    prep_a = lambda A: jnp.pad(A.astype(cdt).transpose(2, 0, 1),
+                               ((0, 0), (0, pad_b), (0, 0)))
+    vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
+    vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)
+
+    kernel = functools.partial(_v2v_fwd_kernel, tb=tb, tv=tv)
+    sign, psum = pl.pallas_call(
+        kernel,
+        grid=(nv, Bp // tb),
+        in_specs=[
+            pl.BlockSpec((tb, 207), lambda vi, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, 24), lambda vi, bi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 207), lambda vi, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, 24), lambda vi, bi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tv), lambda vi, bi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 207, tv), lambda vi, bi: (vi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, tv), lambda vi, bi: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 3, tv), lambda vi, bi: (bi, 0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda vi, bi: (vi, bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nv, Bp // tb, 8, 128), jnp.float32),
+        ],
+        **_compiler_params(tb, ("parallel", "parallel")),
+    )(prep_pf(pf_o), prep_a(A_o), prep_pf(pf_r), prep_a(A_r),
+      vsh_tiles, pd_tiles, w_tiles)
+    return psum.sum(), sign[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def skin_v2v_l1(V: int, pf_o: jnp.ndarray, A_o: jnp.ndarray,
+                v_shaped_t: jnp.ndarray, pd_tiles: jnp.ndarray,
+                w_tiles: jnp.ndarray, pf_r: jnp.ndarray,
+                A_r: jnp.ndarray) -> jnp.ndarray:
+    """sum |skin(pf_r, A_r) - skin(pf_o, A_o)| without materializing either
+    mesh (the VPoser v2v objective, vposer_loss :2786-2793). The rec side
+    (pf_r, A_r) is a constant — zero gradients, matching the reference's
+    detached reconstruction. Backward reuses the standard skinning bwd
+    kernel with the stored sign tensor as the cotangent (the VJP is linear
+    in g), scaled by -g_hat on its tiny outputs."""
+    if _use_pallas():
+        total, _ = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
+                                   pd_tiles, w_tiles, V)
+        return total
+    pd, w = _untile(pd_tiles, w_tiles, V)
+    o = _skin_verts_t_xla(pf_o, A_o, v_shaped_t, pd, w)
+    r = _skin_verts_t_xla(pf_r, A_r, v_shaped_t, pd, w)
+    return jnp.abs(r - o).sum()
+
+
+def _v2v_fwd(V, pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, pf_r, A_r):
+    if _use_pallas():
+        total, sign = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
+                                      pd_tiles, w_tiles, V)
+    else:
+        pd, w = _untile(pd_tiles, w_tiles, V)
+        o = _skin_verts_t_xla(pf_o, A_o, v_shaped_t, pd, w)
+        r = _skin_verts_t_xla(pf_r, A_r, v_shaped_t, pd, w)
+        diff = r - o
+        total = jnp.abs(diff).sum()
+        sign = jnp.sign(diff)
+    return total, (pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign)
+
+
+def _v2v_bwd(V, res, ghat):
+    pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign = res
+    # d total / d orig = -sign(rec - orig); the skinning VJP is linear in
+    # the cotangent, so run it on the raw sign and scale the small outputs
+    if _use_pallas():
+        gpf, ga, gvsh = _bwd_pallas(pf_o, A_o, v_shaped_t, pd_tiles,
+                                    w_tiles, V, sign)
+    else:
+        pd, w = _untile(pd_tiles, w_tiles, V)
+        gpf, ga, gvsh = _bwd_xla(pf_o, A_o, v_shaped_t, pd, w,
+                                 sign.astype(jnp.float32))
+    s = -ghat
+    return (gpf * s, ga * s, gvsh * s, jnp.zeros_like(pd_tiles),
+            jnp.zeros_like(w_tiles), jnp.zeros_like(pf_o),
+            jnp.zeros_like(A_o))
+
+
+skin_v2v_l1.defvjp(_v2v_fwd, _v2v_bwd)

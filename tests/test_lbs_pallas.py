@@ -225,3 +225,67 @@ class TestSkinVertsT:
         assert float(metrics["vp_recon_loss"]) > 0
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestFusedV2V:
+    def test_matches_unfused_and_grads(self, model, rng):
+        """skin_v2v_l1 == sum|skin(r) - skin(o)| (value + grads vs autodiff
+        of the unfused expression with the rec side stop-gradient'd)."""
+        rot, betas = make_inputs(model, 2, rng)
+        rot_r, _ = make_inputs(model, 2, np.random.RandomState(9))
+        pf_o, A_o, vsh_t = raw_op_inputs(model, rot, betas)
+        pf_r, A_r, _ = raw_op_inputs(model, rot_r, betas)
+        V = model.num_vertices
+        pd, w = lbs_pallas._untile(model.pd_tiles, model.w_tiles, V)
+
+        def fused(pf_o, A_o, vsh_t):
+            return lbs_pallas.skin_v2v_l1(V, pf_o, A_o, vsh_t,
+                                          model.pd_tiles, model.w_tiles,
+                                          pf_r, A_r)
+
+        def unfused(pf_o, A_o, vsh_t):
+            o = lbs_pallas._skin_verts_t_xla(pf_o, A_o, vsh_t, pd, w)
+            r = lbs_pallas._skin_verts_t_xla(pf_r, A_r, vsh_t, pd, w)
+            return jnp.abs(jax.lax.stop_gradient(r) - o).sum()
+
+        np.testing.assert_allclose(float(fused(pf_o, A_o, vsh_t)),
+                                   float(unfused(pf_o, A_o, vsh_t)),
+                                   rtol=1e-5)
+        g_f = jax.grad(fused, argnums=(0, 1, 2))(pf_o, A_o, vsh_t)
+        g_u = jax.grad(unfused, argnums=(0, 1, 2))(pf_o, A_o, vsh_t)
+        for a, b, name in zip(g_f, g_u, ("pf", "A34", "vsh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+        # rec side is a constant
+        gr = jax.grad(lambda p: lbs_pallas.skin_v2v_l1(
+            V, pf_o, A_o, vsh_t, model.pd_tiles, model.w_tiles, p, A_r))(
+            pf_r)
+        assert float(jnp.abs(gr).max()) == 0.0
+
+    def test_pallas_interpret_matches_xla(self, model, rng):
+        """The fused fwd kernel in interpreter mode: same sum and sign."""
+        rot, betas = make_inputs(model, 2, rng)
+        rot_r, _ = make_inputs(model, 2, np.random.RandomState(3))
+        pf_o, A_o, vsh_t = raw_op_inputs(model, rot, betas)
+        pf_r, A_r, _ = raw_op_inputs(model, rot_r, betas)
+        pd_tiles, w_tiles, V = lbs_pallas.tile_tables(
+            model.posedirs_t, model.lbs_weights_t, tv=128)
+        pd_tiles, w_tiles = jnp.asarray(pd_tiles), jnp.asarray(w_tiles)
+        pd, w = lbs_pallas._untile(pd_tiles, w_tiles, V)
+        o = lbs_pallas._skin_verts_t_xla(pf_o, A_o, vsh_t, pd, w)
+        r = lbs_pallas._skin_verts_t_xla(pf_r, A_r, vsh_t, pd, w)
+        want_total = float(jnp.abs(r - o).sum())
+        want_sign = np.sign(np.asarray(r - o))
+
+        orig_call = lbs_pallas.pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            total, sign = lbs_pallas._v2v_fwd_pallas(
+                pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8)
+        np.testing.assert_allclose(float(total), want_total, rtol=1e-5)
+        got_sign = np.asarray(sign[:, :, :V], np.float32)
+        assert (got_sign == want_sign).mean() > 0.999  # fp ties only
