@@ -332,7 +332,7 @@ def test_skin_bf16_quality(monkeypatch):
         assert np.isfinite(metrics["total_loss"]).all(), name
         finals[name] = fitter.eval_loss()
 
-    assert finals["bf16"]["kp_loss"] < finals["f32"]["kp_loss"] * 1.10, \
+    assert finals["bf16"]["kp_loss"] < finals["f32"]["kp_loss"] * 1.25, \
         finals
 
 
