@@ -89,3 +89,33 @@ class TestFitCLIUnit:
         for f in ("config.json", "metrics.jsonl", "losses.npz",
                   "eval_2d.csv", "phases.png"):
             assert os.path.exists(os.path.join(run, f)), f
+
+
+class TestFitSuiteCLI:
+    @pytest.mark.slow
+    def test_suite_over_two_bundles(self, raw_action, tmp_path):
+        """fit_suite loops fit over bundles, one run dir per action
+        (the reference's SLURM-array sweep surface)."""
+        from nemo_tpu.cli.fit_suite import main as suite_main
+        from nemo_tpu.cli.preprocess import main as pre_main
+
+        cfg, mats = raw_action
+        bundles = []
+        for i in range(2):
+            b = str(tmp_path / f"act{i}.npz")
+            pre_main(["--nemo_cfg_path", cfg, "--out", b,
+                      "--penn_mats", ",".join(mats)])
+            bundles.append(b)
+        out_dir = str(tmp_path / "suite")
+        rc = suite_main(["--bundles"] + bundles + [
+            "--out_dir", out_dir,
+            "--synthetic_assets", "--label_type", "gt",
+            "--model_version", "1", "--h_dim", "8",
+            "--instance_code_size", "0", "--monotonic_network_n_nodes", "3",
+            "--batch_size", "4", "--n_steps", "2", "--warmup_step", "2",
+            "--opt_cam_step", "2", "--weight_gmm_loss", "0",
+            "--save_every", "2"])
+        assert rc == 0
+        for i in range(2):
+            run = os.path.join(out_dir, f"act{i}", "000000")
+            assert os.path.exists(os.path.join(run, "metrics.jsonl")), i
