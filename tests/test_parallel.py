@@ -147,3 +147,26 @@ def test_vibe_train_step_dp_sharded(rng):
     a = jax.tree_util.tree_leaves(out_state["gen"])[0]
     b = jax.tree_util.tree_leaves(ref_state["gen"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fit_many_seeds_with_vposer(rng):
+    """Seed fan-out with the VPoser v2v prior on — vmap must batch through
+    the fused v2v custom-VJP op (ops/lbs_pallas.skin_v2v_l1)."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, build_assets
+    from nemo_tpu.parallel import fit_many_seeds
+    from nemo_tpu.priors import init_vposer
+
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=2, num_frames=8)
+    cfg = NemoConfig(model_version=2, h_dim=16, instance_code_size=2,
+                     phase_rbf_dim=8, monotonic_network_n_nodes=4,
+                     batch_size=8, weight_gmm_loss=0.0,
+                     weight_vp_loss=1.0, weight_vp_z_loss=0.1,
+                     label_type="gt", lr_factor=1.0)
+    assets = build_assets(bundle, model, cfg,
+                          vposer=init_vposer(jax.random.PRNGKey(0)))
+    out = fit_many_seeds(cfg, assets, num_seeds=2, steps=3)
+    assert out["losses"].shape == (2, 3)
+    assert np.isfinite(out["losses"]).all()
