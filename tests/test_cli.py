@@ -119,3 +119,45 @@ class TestFitSuiteCLI:
         for i in range(2):
             run = os.path.join(out_dir, f"act{i}", "000000")
             assert os.path.exists(os.path.join(run, "metrics.jsonl")), i
+
+
+class TestResumeProbe:
+    @pytest.mark.slow
+    def test_eval_only_resume_reproduces_final_loss(self, raw_action,
+                                                    tmp_path, capsys):
+        """--test --load_ckpt_path must reproduce the original run's final
+        eval exactly (the reference's save/load round-trip :257-280)."""
+        import json as _json
+
+        from nemo_tpu.cli.fit import main as fit_main
+        from nemo_tpu.cli.preprocess import main as pre_main
+
+        cfg, mats = raw_action
+        bundle = str(tmp_path / "b.npz")
+        pre_main(["--nemo_cfg_path", cfg, "--out", bundle,
+                  "--penn_mats", ",".join(mats)])
+        out_dir = str(tmp_path / "out")
+        flags = ["--bundle", bundle, "--synthetic_assets",
+                 "--label_type", "gt", "--model_version", "2",
+                 "--h_dim", "8", "--instance_code_size", "2",
+                 "--phase_rbf_dim", "4", "--monotonic_network_n_nodes", "3",
+                 "--batch_size", "4", "--n_steps", "4", "--warmup_step", "2",
+                 "--opt_cam_step", "2", "--weight_gmm_loss", "0",
+                 "--save_every", "4"]
+        assert fit_main(flags + ["--out_dir", out_dir]) == 0
+        run = os.path.join(out_dir, "000000")
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            final = _json.loads(f.readlines()[-1])
+        assert final["phase"] == "final", final
+        ckpt = os.path.join(run, "ckpt", "sd_000004")
+        assert os.path.exists(ckpt), os.listdir(os.path.join(run, "ckpt"))
+        capsys.readouterr()
+        assert fit_main(flags + ["--out_dir", str(tmp_path / "out2"),
+                                 "--test", "--load_ckpt_path", ckpt]) == 0
+        text = capsys.readouterr().out
+        # the eval-only run prints the same final kp_loss
+        import re
+        m = re.search(r"'kp_loss': ([0-9.]+)", text)
+        assert m, text
+        np.testing.assert_allclose(float(m.group(1)),
+                                   final["kp_loss"], rtol=1e-4)
