@@ -92,6 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--humor_ckpt", type=str, default="",
                    help="HuMoR torch checkpoint to convert (synthetic "
                         "weights are used if unset with --synthetic_assets)")
+    p.add_argument("--full_batch", action="store_true", default=False,
+                   help="step the main loop on the full (V x F) grid "
+                        "instead of random batches (the custom entry's "
+                        "mode, learned_multi_view_recon_nn_custom.py:315)")
+    p.add_argument("--eval_full_batch", action="store_true", default=False,
+                   help="run the init eval on the full grid (entry "
+                        "script :220-226); default samples one batch")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard the per-step batch over an N-device "
+                        "data-parallel mesh (params replicated; XLA "
+                        "all-reduces grads over ICI). 0 = single device")
     p.add_argument("--label_type", type=str, default="gt",
                    choices=["gt", "op", "intersection"])
     p.add_argument("--label_intersection_threshold", type=float, default=30.0)
@@ -184,9 +195,15 @@ def main(argv=None) -> int:
             bundle, _ = synthetic_problem(synthetic_smpl_model(),
                                           num_views=4, num_frames=60)
 
+    mesh = None
+    if args.dp > 0:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.dp)
+        print(f"[fit] data-parallel over {mesh.devices.size} devices")
+
     with Timer("Model init"):
         assets = load_assets(args, bundle, cfg)
-        fitter = NemoFitter(cfg, assets, seed=args.seed)
+        fitter = NemoFitter(cfg, assets, seed=args.seed, mesh=mesh)
 
     if args.load_ckpt_path:
         fitter.state = load_fit_state(args.load_ckpt_path, fitter.state)
@@ -196,7 +213,7 @@ def main(argv=None) -> int:
     metrics_log = MetricWriter(osp.join(out_dir, "metrics.jsonl"))
 
     if not args.test:
-        init_metrics = fitter.eval_loss()
+        init_metrics = fitter.eval_loss(full=args.eval_full_batch)
         metrics_log.write({"phase": "init", **init_metrics})
 
         with Timer("Warmup"):
@@ -271,18 +288,22 @@ def main(argv=None) -> int:
     pts2d = np.asarray(pts2d).reshape(V, F, 25, 2)
 
     if "gt" in bundle.labels:
+        # column order follows the reference exactly: ours, op, vibe,
+        # then vs/pare when packed (neural_motion_model.py:631-707)
+        label_order = [k for k in ("op", "vibe", "vs", "pare")
+                       if k in bundle.labels]
         stats2d = eval_2d(pts2d,
-                          {k: v for k, v in bundle.labels.items()
-                           if k != "gt"},
+                          {k: bundle.labels[k] for k in label_order},
                           bundle.labels["gt"], bundle.bbox_diag("gt"))
         write_csv(stats2d, osp.join(out_dir, "eval_2d.csv"))
     if bundle.gt3d_pose is not None:
         pred_pose = np.asarray(preds["poses"]).reshape(V, F, 69)
-        # baseline columns: vibe (the initializer) + any packed vs/pare/glamr
-        # pose slots (the reference's eval_3d columns :1237-1277)
+        # baseline columns in the reference's order: vibe (the initializer),
+        # then packed vs/pare/glamr pose slots (eval_3d :1237-1277)
         baselines = {"vibe": bundle.hmr_theta}
-        for bname, bpose in (bundle.baseline_poses or {}).items():
-            baselines[bname] = bpose[..., :69]
+        for bname in ("vs", "pare", "glamr"):
+            if bname in (bundle.baseline_poses or {}):
+                baselines[bname] = bundle.baseline_poses[bname][..., :69]
         stats3d = eval_3d(assets.smpl, pred_pose, bundle.gt3d_pose,
                           baselines)
         write_csv(stats3d, osp.join(out_dir, "eval_3d.csv"))
@@ -291,13 +312,29 @@ def main(argv=None) -> int:
                               framerate_multiplier=bundle.framerate_multiplier)
         write_csv(stats3d_dyn, osp.join(out_dir, "eval_3d_dynamic.csv"))
         if bundle.gt3d_trans is not None:
+            # eval_3d_global: get_preds-style world-frame pred (learned
+            # betas, learned orient, + trans) aligned to GT by an
+            # all-frames rigid Kabsch fit on the vertices (:1594-1651)
             from ..eval import eval_3d_global
-            from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
-            orient_aa = np.asarray(preds["orient_aa"]).reshape(V, F, 3)
-            pred72 = np.concatenate([orient_aa, pred_pose], axis=-1)
-            pred_trans = np.asarray(preds["trans"]).reshape(V, F, 3)
-            stats_g = eval_3d_global(assets.smpl, pred72, pred_trans,
-                                     bundle.gt3d_pose, bundle.gt3d_trans)
+            pred_j, pred_v = [], []
+            for v in range(V):
+                pv = predict(fitter.state.params, cfg, assets,
+                             jnp.full((F,), v, jnp.int32), jnp.arange(F),
+                             want_vertices=True)
+                pred_j.append(np.asarray(pv["j"]))
+                pred_v.append(np.asarray(pv["v"]))
+            glamr_kwargs = {}
+            if (bundle.glamr_orient is not None
+                    and bundle.glamr_trans is not None
+                    and "glamr" in (bundle.baseline_poses or {})):
+                glamr_kwargs = {
+                    "glamr_pose": np.concatenate(
+                        [bundle.glamr_orient,
+                         bundle.baseline_poses["glamr"][..., :69]], -1),
+                    "glamr_trans": bundle.glamr_trans}
+            stats_g = eval_3d_global(assets.smpl, np.stack(pred_j),
+                                     np.stack(pred_v), bundle.gt3d_pose,
+                                     bundle.gt3d_trans, **glamr_kwargs)
             write_csv(stats_g, osp.join(out_dir, "eval_3d_global.csv"))
 
     if args.render_video:

@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--mocap_pkl", type=str, default="")
     p.add_argument("--gt_cam_paths", type=str, default="",
                    help="comma-separated opt_cam .npy paths (one per view)")
+    p.add_argument("--spin_npys", type=str, default="",
+                   help="comma-separated per-view SPIN theta .npy paths "
+                        "(F, 69|72|85) -> the V0 warmup's spin_theta slot "
+                        "(neural_motion_model.py:3216-3227)")
     p.add_argument("--penn_mats", type=str, default="",
                    help="comma-separated Penn Action labels/NNNN.mat paths "
                         "(one per view) -> 'gt' 2D labels via the 13->25 "
@@ -66,6 +70,7 @@ def main(argv=None) -> int:
     names = cfg["videos"]["names"]
 
     op_per_view, gt_per_view, theta_per_view, frames_per_view = [], [], [], []
+    j2d_per_view = []
     for name in names:
         base = osp.join(exp_dir, name)
         # optional extracted frames (video_to_frames output) for eval overlays
@@ -108,10 +113,15 @@ def main(argv=None) -> int:
                 break
         if vibe_path:
             person = load_vibe_pickle(vibe_path, op.shape[0], gt_2d=op)
-            theta_per_view.append(vibe_to_theta(person) if person is not None
-                                  else np.zeros((op.shape[0], 70), np.float32))
+        else:
+            person = None
+        if person is not None:
+            from ..data import person_joints2d
+            theta_per_view.append(vibe_to_theta(person))
+            j2d_per_view.append(person_joints2d(person))
         else:
             theta_per_view.append(np.zeros((op.shape[0], 70), np.float32))
+            j2d_per_view.append(None)
 
     lens = [o.shape[0] for o in op_per_view]
     F = min(lens) if args.n_frames <= 0 else min(args.n_frames, min(lens))
@@ -121,6 +131,12 @@ def main(argv=None) -> int:
     theta_all = resample_to_common_frames(theta_per_view, F, args.start_phase)
 
     labels = {"op": op_all.astype(np.float32)}
+    if all(j is not None for j in j2d_per_view):
+        # VIBE image-space 2D tracks: the always-collated 'vibe' label that
+        # feeds eval_2d's recon_error_2d-vibe / pck-vibe columns
+        # (multi_view_sequence.py:442-443, neural_motion_model.py:558-560)
+        labels["vibe"] = resample_to_common_frames(
+            j2d_per_view, F, args.start_phase).astype(np.float32)
     if args.penn_mats:
         # Penn Action GT labels (PennActionMultiViewSequence's source)
         from ..data import load_penn_sequence
@@ -140,6 +156,21 @@ def main(argv=None) -> int:
                           np.float32)
 
     kwargs = {}
+    if args.spin_npys:
+        # accept raw body pose (69), full pose (72 -> drop orient), or the
+        # SPIN 85-d theta (cam 3 + pose 72 + betas 10 -> body cols 6:75)
+        spin = []
+        for p in args.spin_npys.split(","):
+            arr = np.load(p).astype(np.float32)
+            if arr.shape[-1] == 85:
+                arr = arr[:, 6:75]
+            elif arr.shape[-1] == 72:
+                arr = arr[:, 3:]
+            if arr.shape[-1] != 69:
+                raise ValueError(f"bad SPIN theta width in {p}: {arr.shape}")
+            spin.append(arr)
+        kwargs["spin_theta"] = resample_to_common_frames(
+            spin, F, args.start_phase)
     if args.mocap_pkl:
         import joblib
         mocap = joblib.load(args.mocap_pkl)
@@ -178,19 +209,41 @@ def main(argv=None) -> int:
                       ("glamr", args.glamr_pkls)):
         if not arg:
             continue
-        from ..data import load_baseline_pickle
-        per_view = []
+        from ..data import load_baseline_arrays
+        per_view, j2d_views = [], []
+        orient_views, trans_views = [], []
         for v, p in enumerate(arg.split(",")):
-            theta = load_baseline_pickle(p, lens[v], kind,
-                                         gt_2d=op_per_view[v])
-            per_view.append(theta if theta is not None
-                            else np.zeros((lens[v], 70), np.float32))
+            arrays = load_baseline_arrays(p, lens[v], kind,
+                                          gt_2d=op_per_view[v])
+            if arrays is None:
+                arrays = {"theta": np.zeros((lens[v], 70), np.float32),
+                          "joints2d": None, "orient": None, "trans": None}
+            per_view.append(arrays["theta"])
+            j2d_views.append(arrays["joints2d"])
+            orient_views.append(arrays["orient"])
+            trans_views.append(arrays["trans"])
         baseline_poses[kind] = resample_to_common_frames(
             per_view, F, args.start_phase).astype(np.float32)
+        if kind in ("vs", "pare") and all(
+                j is not None for j in j2d_views):
+            # vs/pare 2D labels -> recon_error_2d-vs/-pare columns
+            # (neural_motion_model.py:677-707, include_vs/include_pare)
+            labels[kind] = resample_to_common_frames(
+                j2d_views, F, args.start_phase).astype(np.float32)
+        if kind == "glamr" and all(o is not None for o in orient_views) \
+                and all(t is not None for t in trans_views):
+            # GLAMR world baseline for eval_3d_global's glamr columns
+            kwargs["glamr_orient"] = resample_to_common_frames(
+                orient_views, F, args.start_phase).astype(np.float32)
+            kwargs["glamr_trans"] = resample_to_common_frames(
+                trans_views, F, args.start_phase).astype(np.float32)
     if baseline_poses:
         kwargs["baseline_poses"] = baseline_poses
 
-    fm = np.asarray([F / max(l, 1) for l in lens], np.float32)
+    # raw-frames-per-resampled-frame, n_seq_frames / num_frames
+    # (multi_view_sequence.py:300) — scales per-frame GT displacement to
+    # raw-video-rate velocity in the dynamic-frame mask
+    fm = np.asarray([l / max(F, 1) for l in lens], np.float32)
     bundle = MultiViewBundle(
         labels=labels,
         hmr_theta=theta_all[..., :69].astype(np.float32),

@@ -35,6 +35,10 @@ class MultiViewBundle:
     hmr_theta: np.ndarray                  # (V, F, 69)
     hmr_mask: np.ndarray                   # (V, F, 1)
     img_hw: np.ndarray                     # (2,) = (D0 height, D1 width)
+    # SPIN per-frame theta for V0's warmup (the reference warms V0 up on
+    # spin_theta, neural_motion_model.py:3216-3227, while V1+ uses the VIBE
+    # theta in hmr_theta :3441-3452); optional second initializer slot
+    spin_theta: Optional[np.ndarray] = None    # (V, F, 69)
     gt3d_pose: Optional[np.ndarray] = None     # (V, F, 72)
     gt3d_trans: Optional[np.ndarray] = None    # (V, F, 3)
     gt_cameras: Optional[np.ndarray] = None    # (V, 9)
@@ -45,6 +49,12 @@ class MultiViewBundle:
     # in hmr_theta): {name: (V, F, 70)} = 69 axis-angle dims + validity mask
     # (the commented-out loader slots of multi_view_sequence.py:336-392)
     baseline_poses: Optional[Dict[str, np.ndarray]] = None
+    # GLAMR world-frame baseline for eval_3d_global's mpjpe/mpvpe-glamr
+    # columns: global orient + root translation per frame
+    # (multi_view_sequence.py glamr_orient/glamr_trans slots :387-389;
+    # consumed by rigid_transform_to_gt, neural_motion_model.py:1557-1577)
+    glamr_orient: Optional[np.ndarray] = None  # (V, F, 3)
+    glamr_trans: Optional[np.ndarray] = None   # (V, F, 3)
     name: str = "bundle"
 
     @property
@@ -110,8 +120,9 @@ class MultiViewBundle:
             payload[f"labels_{k}"] = v
         for k, v in (self.baseline_poses or {}).items():
             payload[f"bpose_{k}"] = v
-        for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
-                  "framerate_multiplier", "frame_paths"):
+        for k in ("spin_theta", "gt3d_pose", "gt3d_trans", "gt_cameras",
+                  "gt_betas", "framerate_multiplier", "frame_paths",
+                  "glamr_orient", "glamr_trans"):
             v = getattr(self, k)
             if v is not None:
                 payload[k] = v
@@ -126,8 +137,9 @@ class MultiViewBundle:
         bposes = {k[len("bpose_"):]: data[k] for k in data.files
                   if k.startswith("bpose_")}
         kwargs = {"baseline_poses": bposes} if bposes else {}
-        for k in ("gt3d_pose", "gt3d_trans", "gt_cameras", "gt_betas",
-                  "framerate_multiplier", "frame_paths"):
+        for k in ("spin_theta", "gt3d_pose", "gt3d_trans", "gt_cameras",
+                  "gt_betas", "framerate_multiplier", "frame_paths",
+                  "glamr_orient", "glamr_trans"):
             if k in data.files:
                 kwargs[k] = data[k]
         return cls(labels=labels, hmr_theta=data["hmr_theta"],

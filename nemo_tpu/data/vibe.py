@@ -86,10 +86,29 @@ def vibe_to_theta(person: Dict[str, np.ndarray]) -> np.ndarray:
     return np.concatenate([pose[:, 3:], mask], axis=1)
 
 
-def load_baseline_pickle(path: str, max_frames: int, kind: str,
+def person_joints2d(person: Dict[str, np.ndarray],
+                    n_joints: int = 25) -> Optional[np.ndarray]:
+    """(F, n_joints, 3) image-space 2D keypoints + validity confidence.
+
+    The reference stores the tracklet's 'joints2d_img_coord' (SPIN-49
+    layout whose first 25 rows are the OpenPose joints) as the per-view
+    'vibe_joints2d' label consumed by collate_gt_2d(label_type='vibe')
+    (multi_view_sequence.py:327,442-443; neural_motion_model.py:2921-2922).
+    The confidence column is the tracklet mask (eval only reads [..., :2]).
+    """
+    j2d = person.get("joints2d_img_coord", person.get("smpl_joints2d"))
+    if j2d is None:
+        return None
+    j2d = np.asarray(j2d, np.float32)[:, :n_joints, :2]
+    conf = np.broadcast_to(person["mask"][:, None, None],
+                           j2d.shape[:2] + (1,))
+    return np.concatenate([j2d, conf.astype(np.float32)], axis=-1)
+
+
+def load_baseline_arrays(path: str, max_frames: int, kind: str,
                          gt_2d: Optional[np.ndarray] = None
-                         ) -> Optional[np.ndarray]:
-    """A 3D-baseline pickle -> (F, 70) theta+mask for eval_3d columns.
+                         ) -> Optional[Dict[str, np.ndarray]]:
+    """A 3D-baseline pickle -> per-frame arrays for the eval columns.
 
     The reference's commented-out loader slots
     (multi_view_sequence.py:336-392):
@@ -97,11 +116,18 @@ def load_baseline_pickle(path: str, max_frames: int, kind: str,
       * 'pare'  — PARE: vibe-like dict but 'pose' holds rotation MATRICES
                   (F, 24, 3, 3), converted to axis-angle (:360-366)
       * 'glamr' — GLAMR grecon pkl: {'person_data': [{'smpl_pose' (F, 69),
-                  'smpl_orient_cam', 'root_trans_cam', ...}]} (:378-392)
+                  'smpl_orient_cam', 'root_trans_cam', 'kp_2d', ...}]}
+                  (:378-392); orient/trans feed rigid_transform_to_gt's
+                  world baseline (neural_motion_model.py:1557-1577)
+
+    Returns {'theta': (F, 70) body pose + validity mask,
+             'joints2d': (F, 25, 3) image 2D + conf or None,
+             'orient': (F, 3) or None, 'trans': (F, 3) or None}.
     """
     import joblib
 
     data = joblib.load(path)
+    joints2d = orient = trans = None
     if kind == "glamr":
         pd_ = data["person_data"][0]
         pose = np.asarray(pd_["smpl_pose"], np.float32)[:max_frames]
@@ -109,6 +135,18 @@ def load_baseline_pickle(path: str, max_frames: int, kind: str,
             pose = pose[:, 3:]
         mask = np.ones((pose.shape[0], 1), np.float32)
         out = np.concatenate([pose, mask], axis=1)
+        if "smpl_orient_cam" in pd_:
+            orient = np.asarray(pd_["smpl_orient_cam"],
+                                np.float32)[:max_frames]
+        if "root_trans_cam" in pd_:
+            trans = np.asarray(pd_["root_trans_cam"],
+                               np.float32)[:max_frames]
+        if "kp_2d" in pd_:
+            kp = np.asarray(pd_["kp_2d"], np.float32)[:max_frames]
+            pad_j = np.zeros((kp.shape[0], 25, 3), np.float32)
+            pad_j[:, :min(25, kp.shape[1]), :kp.shape[2]] = \
+                kp[:, :25, :3]
+            joints2d = pad_j
     else:
         person = None
         if kind == "vs":
@@ -132,7 +170,24 @@ def load_baseline_pickle(path: str, max_frames: int, kind: str,
                 max_frames, 72)
         mask = person["mask"].reshape(-1, 1).astype(np.float32)
         out = np.concatenate([pose[:, 3:], mask], axis=1)
+        joints2d = person_joints2d(person)
     if out.shape[0] < max_frames:
         pad = np.zeros((max_frames - out.shape[0], 70), np.float32)
         out = np.concatenate([out, pad], axis=0)
-    return out
+
+    def _pad(a, width):
+        if a is None or a.shape[0] >= max_frames:
+            return None if a is None else a[:max_frames]
+        return np.concatenate(
+            [a, np.zeros((max_frames - a.shape[0],) + a.shape[1:],
+                         np.float32)], axis=0)
+    return {"theta": out, "joints2d": _pad(joints2d, 25),
+            "orient": _pad(orient, 3), "trans": _pad(trans, 3)}
+
+
+def load_baseline_pickle(path: str, max_frames: int, kind: str,
+                         gt_2d: Optional[np.ndarray] = None
+                         ) -> Optional[np.ndarray]:
+    """Back-compat wrapper: just the (F, 70) theta of load_baseline_arrays."""
+    arrays = load_baseline_arrays(path, max_frames, kind, gt_2d)
+    return None if arrays is None else arrays["theta"]

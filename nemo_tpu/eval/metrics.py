@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..body.smpl import SMPLModel, smpl_forward
-from ..geometry.procrustes import reconstruction_error_np, similarity_transform_np
+from ..geometry.procrustes import reconstruction_error_np
 
 
 def smpl_grid_forward(model: SMPLModel, body_pose_aa: np.ndarray,
@@ -55,6 +55,11 @@ def dynamic_frame_mask(gt_joints15: np.ndarray,
     gt_joints15: (F, 15, 3). A frame is dynamic when the max GT joint speed
     is >= vel_threshold m/s; the mask covers the CONTIGUOUS span from the
     first to the last dynamic frame (the reference fills inds.min()..max()).
+
+    framerate_multiplier is the reference's raw-frames-per-resampled-frame
+    ratio n_seq_frames / num_frames (multi_view_sequence.py:300): per-frame
+    GT displacement x (30 fps x fm) = metres/second at the raw video rate
+    (:1108-1110).
     """
     F = gt_joints15.shape[0]
     diff = gt_joints15[1:] - gt_joints15[:-1]
@@ -201,47 +206,77 @@ def eval_2d(points2d_pred: np.ndarray,
     return stats
 
 
+def world_grid_forward(model: SMPLModel, pose72: np.ndarray,
+                       trans: np.ndarray, n_joints: int = 15
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """World-frame SMPL forward over a (V, F) grid of full poses.
+
+    pose72: (V, F, 72) with global orient in [:3]; trans: (V, F, 3).
+    smpl(betas=None, body_pose=pose[3:], global_orient=pose[:3]) + trans —
+    the rigid_transform_to_gt GT/GLAMR recipe
+    (neural_motion_model.py:1535-1545, :1566-1577).
+    Returns (vertices (V, F, 6890, 3), joints (V, F, n_joints, 3)).
+    """
+    V, F = pose72.shape[:2]
+    fn = jax.jit(lambda p, t: smpl_forward(
+        model, jnp.zeros((1, 10)), p[:, 3:], p[:, :3], pose2rot=True,
+        want_vertices=True, transl=t))
+    vs, js = [], []
+    for v in range(V):
+        vv, jj = fn(jnp.asarray(pose72[v]), jnp.asarray(trans[v]))
+        vs.append(np.asarray(vv))
+        js.append(np.asarray(jj)[:, :n_joints])
+    return np.stack(vs), np.stack(js)
+
+
 def eval_3d_global(model: SMPLModel,
-                   pred_pose: np.ndarray, pred_trans: np.ndarray,
+                   pred_j: np.ndarray, pred_v: np.ndarray,
                    gt_pose: np.ndarray, gt_trans: np.ndarray,
+                   glamr_pose: Optional[np.ndarray] = None,
+                   glamr_trans: Optional[np.ndarray] = None,
                    ) -> Dict[str, list]:
-    """Global-frame errors after frame-0 similarity alignment
+    """Global-frame errors after an ALL-FRAMES rigid (Kabsch) alignment
     (eval_3d_global :992-1054 + rigid_transform_to_gt :1490-1651).
 
-    Poses include global orientation here (columns 0:3 of the 72-d pose);
-    predictions and GT are both placed in their world frames via their
-    translations, aligned by the similarity transform computed on frame-0
-    vertices, then compared.
+    Args:
+      pred_j: (V, F, >=15, 3) world-frame predicted joints — get_preds'
+        'j' output (the 25-joint projection selection); the first 15 are
+        compared (:1026-1027).
+      pred_v: (V, F, 6890, 3) world-frame predicted vertices.
+      gt_pose: (V, F, 72) GT full pose (orient in [:3]); gt_trans (V, F, 3).
+      glamr_pose / glamr_trans: optional GLAMR world baseline, same layout
+        (the reference always emits its columns; here they appear when the
+        bundle carries GLAMR world data).
+
+    Per view, a rigid_transform_3D (NO scale) is fit on the stacked
+    all-frames VERTICES pred->GT and applied to vertices and joints
+    (:1594-1651); columns are exactly the reference's
+    mpjpe-ours/mpvpe-ours/mpjpe-glamr/mpvpe-glamr (:1038-1052).
     """
-    V, F = pred_pose.shape[:2]
+    from ..geometry.procrustes import rigid_transform_np
 
-    def world(poses72, trans):
-        fn = jax.jit(lambda p, t: smpl_forward(
-            model, jnp.zeros((1, 10)), p[:, 3:], p[:, :3], pose2rot=True,
-            want_vertices=True, transl=t))
-        vs, js = [], []
+    V = gt_pose.shape[0]
+    v_gt, j_gt = world_grid_forward(model, gt_pose, gt_trans)
+
+    stats: Dict[str, list] = {"mpjpe-ours": [], "mpvpe-ours": []}
+    comparisons = [("ours", pred_v, pred_j[..., :15, :])]
+    if glamr_pose is not None and glamr_trans is not None:
+        v_gl, j_gl = world_grid_forward(model, glamr_pose, glamr_trans)
+        comparisons.append(("glamr", v_gl, j_gl))
+        stats["mpjpe-glamr"] = []
+        stats["mpvpe-glamr"] = []
+
+    for name, v_cmp, j_cmp in comparisons:
         for v in range(V):
-            vv, jj = fn(jnp.asarray(poses72[v]), jnp.asarray(trans[v]))
-            vs.append(np.asarray(vv))
-            js.append(np.asarray(jj)[:, :15])
-        return np.stack(vs), np.stack(js)
-
-    v_gt, j_gt = world(gt_pose, gt_trans)
-    pred72 = np.concatenate([pred_pose[..., :3] * 0, pred_pose], -1) \
-        if pred_pose.shape[-1] == 69 else pred_pose
-    v_pr, j_pr = world(pred72, pred_trans)
-
-    stats: Dict[str, list] = {"g_mpjpe-ours": [], "g_mpvpe-ours": []}
-    for v in range(V):
-        # similarity transform from frame-0 vertices, applied to all frames
-        _, (s, R, t) = similarity_transform_np(v_pr[v, 0], v_gt[v, 0])
-        align = lambda X: s * X @ R.T + t
-        vj = align(j_pr[v].reshape(-1, 3)).reshape(j_pr[v].shape)
-        vv = align(v_pr[v].reshape(-1, 3)).reshape(v_pr[v].shape)
-        stats["g_mpjpe-ours"].append(float(
-            1000 * reconstruction_error_np(vj, j_gt[v], pa=False)))
-        stats["g_mpvpe-ours"].append(float(
-            1000 * reconstruction_error_np(vv, v_gt[v], pa=False)))
+            R, t = rigid_transform_np(v_cmp[v].reshape(-1, 3),
+                                      v_gt[v].reshape(-1, 3))
+            align = lambda X: X.reshape(-1, 3) @ R.T + t
+            vv = align(v_cmp[v]).reshape(v_gt[v].shape)
+            vj = align(j_cmp[v]).reshape(j_gt[v].shape)
+            stats[f"mpjpe-{name}"].append(float(
+                1000 * reconstruction_error_np(j_gt[v], vj, pa=False)))
+            stats[f"mpvpe-{name}"].append(float(
+                1000 * reconstruction_error_np(v_gt[v], vv, pa=False)))
     return stats
 
 

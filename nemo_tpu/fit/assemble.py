@@ -40,6 +40,9 @@ def build_assets(bundle: MultiViewBundle, smpl: SMPLModel,
         bbox_diag=jnp.asarray(bundle.bbox_diag(cfg.label_type, thr)),
         hmr_theta=jnp.asarray(bundle.hmr_theta),
         hmr_mask=jnp.asarray(bundle.hmr_mask),
+        spin_theta=(jnp.asarray(bundle.spin_theta)
+                    if getattr(bundle, "spin_theta", None) is not None
+                    else None),
         img_d0=bundle.img_d0,
         img_d1=bundle.img_d1,
         humor=humor,

@@ -62,21 +62,51 @@ class NemoFitter:
     """
 
     def __init__(self, cfg: NemoConfig, assets: NemoAssets,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'dp' axis — the sampled
+        (view, frame) batch shards across it inside every stage scan while
+        parameters stay replicated (XLA inserts the gradient all-reduce
+        over ICI). This is the product-path realization of SURVEY §2f's
+        "pjit data-parallel sharding of the (view, frame) batch"."""
         self.cfg = cfg
         self.assets = assets
         self.optimizer = make_optimizer(cfg)
+        self.mesh = mesh
+        self._bat = None
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated, replicate_tree
+            if not cfg.full_batch and \
+                    cfg.batch_size % mesh.devices.size != 0:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by the "
+                    f"{mesh.devices.size}-device dp mesh")
+            self._bat = batch_sharding(mesh)
+            self.assets = replicate_tree(mesh, assets)
         key = jax.random.PRNGKey(seed)
         k_init, k_run = jax.random.split(key)
         from .model import init_params
         params = init_params(k_init, cfg, assets.num_views, assets.img_d0)
+        opt_state = self.optimizer.init(params)
+        if mesh is not None:
+            from ..parallel import replicate_tree
+            params = replicate_tree(mesh, params)
+            opt_state = replicate_tree(mesh, opt_state)
         self.state = FitState(
             params=params,
-            opt_state=self.optimizer.init(params),
+            opt_state=opt_state,
             plateau=plateau_init_all(cfg),
             key=k_run,
         )
         self._compiled: Dict[Tuple, Callable] = {}
+
+    def _shard_batch(self, vi, fi):
+        """Constrain a batch to the dp axis (no-op without a mesh, or when
+        the batch length does not tile the mesh evenly — e.g. a full
+        (V x F) grid on an odd device count)."""
+        if self._bat is None or vi.shape[0] % self.mesh.devices.size != 0:
+            return vi, fi
+        return (jax.lax.with_sharding_constraint(vi, self._bat),
+                jax.lax.with_sharding_constraint(fi, self._bat))
 
     # ------------------------------------------------------------------
     # stage scan builders
@@ -104,7 +134,7 @@ class NemoFitter:
             def body(carry, _):
                 params, opt_state, plateau, key = carry
                 key, k1 = jax.random.split(key)
-                vi, fi = _sample_batch(k1, B, V, F)
+                vi, fi = self._shard_batch(*_sample_batch(k1, B, V, F))
                 (loss, metrics), grads = jax.value_and_grad(
                     warmup_loss, has_aux=True)(params, cfg, assets, vi, fi)
                 updates, opt_state = warm_opt.update(grads, opt_state, params,
@@ -120,7 +150,7 @@ class NemoFitter:
                 def body(carry, _):
                     params, opt_state, plateau, key = carry
                     key, k1, k2 = jax.random.split(key, 3)
-                    vi, fi = _sample_batch(k1, B, V, F)
+                    vi, fi = self._shard_batch(*_sample_batch(k1, B, V, F))
                     (loss, metrics), grads = jax.value_and_grad(
                         camera_stage_loss, has_aux=True)(
                             params, cfg, assets, vi, fi, key=k2)
@@ -150,10 +180,20 @@ class NemoFitter:
                     return (params, cam_state, plateau, key), metrics
 
         elif stage == "main":
+            # full-batch mode: every step runs the fixed (V x F) grid
+            # instead of a sampled batch — the custom entry's stepping
+            # (learned_multi_view_recon_nn_custom.py:315, step() full_batch
+            # branch neural_motion_model.py:3808-3817)
+            vi_full = jnp.repeat(jnp.arange(V), F)
+            fi_full = jnp.tile(jnp.arange(F), V)
+
             def body(carry, _):
                 params, opt_state, plateau, key = carry
                 key, k1, k2 = jax.random.split(key, 3)
-                vi, fi = _sample_batch(k1, B, V, F)
+                if cfg.full_batch:
+                    vi, fi = self._shard_batch(vi_full, fi_full)
+                else:
+                    vi, fi = self._shard_batch(*_sample_batch(k1, B, V, F))
                 (loss, metrics), grads = jax.value_and_grad(
                     fit_loss, has_aux=True)(params, cfg, assets, vi, fi,
                                             key=k2, training=True)
@@ -247,14 +287,21 @@ class NemoFitter:
     # evaluation helpers
     # ------------------------------------------------------------------
 
-    def eval_loss(self, batch_size: Optional[int] = None
-                  ) -> Dict[str, float]:
-        """Loss on the FULL (view, frame) grid without updating (the
-        reference's step(update=False, full_batch=True), entry :220-226)."""
+    def eval_loss(self, batch_size: Optional[int] = None,
+                  full: bool = True) -> Dict[str, float]:
+        """Loss without updating (the reference's step(update=False, ...),
+        entry :220-226). full=True evaluates the FULL (view, frame) grid
+        (the --eval_full_batch path); full=False draws one random batch
+        like the reference's default init eval."""
         assets = self.assets
         V, F = assets.num_views, assets.num_frames
-        vi = jnp.repeat(jnp.arange(V), F)
-        fi = jnp.tile(jnp.arange(F), V)
+        if full:
+            vi = jnp.repeat(jnp.arange(V), F)
+            fi = jnp.tile(jnp.arange(F), V)
+        else:
+            B = batch_size or self.cfg.batch_size
+            vi, fi = _sample_batch(jax.random.fold_in(self.state.key, 0xE7A1),
+                                   B, V, F)
         _, metrics = jax.jit(
             functools.partial(fit_loss, cfg=self.cfg, assets=assets,
                               training=False))(

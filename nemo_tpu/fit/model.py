@@ -85,6 +85,10 @@ class NemoConfig:
     n_steps: int = 2000
     warmup_step: int = 300
     opt_cam_step: int = 1000
+    # full-batch stepping: every main-loop step runs the fixed (V x F)
+    # grid instead of a random batch — the custom entry's mode
+    # (learned_multi_view_recon_nn_custom.py:315)
+    full_batch: bool = False
     label_type: str = "op"
     # 'intersection' label agreement gate in pixels (collate_gt_2d :2939)
     label_intersection_threshold: float = 30.0
@@ -122,6 +126,9 @@ class NemoAssets:
     hmr_mask: jnp.ndarray       # (V, F, 1)
     img_d0: float
     img_d1: float
+    # optional SPIN-theta slot: V0's warmup target (:3216-3227) when the
+    # bundle carries both initializers (V1+ always uses hmr_theta :3441)
+    spin_theta: Optional[jnp.ndarray] = None   # (V, F, 69)
     # optional v2v vertex-subset tables (cfg.vp_v2v_n_verts > 0): the
     # VPoser v2v prior evaluated on an even vertex subsample — the step's
     # dominant cost scales with the vertex count (ROADMAP: perf profile)
@@ -145,13 +152,13 @@ jax.tree_util.register_pytree_node(
     NemoAssets,
     lambda a: ((a.smpl, a.gmm, a.vposer, a.points2d_gt, a.bbox_diag,
                 a.hmr_theta, a.hmr_mask, a.v2v_vidx, a.v2v_pd_tiles,
-                a.v2v_w_tiles, a.humor),
+                a.v2v_w_tiles, a.humor, a.spin_theta),
                (a.img_d0, a.img_d1, a.humor_cfg)),
     lambda aux, c: NemoAssets(c[0], c[1], c[2], c[3], c[4], c[5], c[6],
                               img_d0=aux[0], img_d1=aux[1],
                               v2v_vidx=c[7], v2v_pd_tiles=c[8],
                               v2v_w_tiles=c[9], humor=c[10],
-                              humor_cfg=aux[2]),
+                              humor_cfg=aux[2], spin_theta=c[11]),
 )
 
 
@@ -515,10 +522,15 @@ def warmup_loss(params: Params, cfg: NemoConfig, assets: NemoAssets,
     """
     preds = predict(params, cfg, assets, view_idx, frame_idx,
                     want_vertices=False)
-    theta = assets.hmr_theta[view_idx, frame_idx]
     if cfg.model_version == 0:
+        # V0 warms up on SPIN theta when packed (:3216-3227); VIBE theta
+        # is the fallback when the bundle has only one initializer slot
+        src = assets.spin_theta if assets.spin_theta is not None \
+            else assets.hmr_theta
+        theta = src[view_idx, frame_idx]
         loss = ((preds["poses"] - theta) ** 2).mean()
     else:
+        theta = assets.hmr_theta[view_idx, frame_idx]
         mask = assets.hmr_mask[view_idx, frame_idx]
         loss = keypoint_loss(preds["poses"], theta, mask,
                              loss_type="mse_robust").mean()

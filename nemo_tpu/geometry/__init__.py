@@ -28,6 +28,7 @@ from .procrustes import (
     reconstruction_error,
     reconstruction_error_np,
     rigid_transform,
+    rigid_transform_np,
     similarity_transform,
     similarity_transform_np,
 )
@@ -40,5 +41,6 @@ __all__ = [
     "estimate_translation", "init_camera_params", "perspective_projection",
     "project",
     "apply_rigid_transform", "reconstruction_error", "reconstruction_error_np",
-    "rigid_transform", "similarity_transform", "similarity_transform_np",
+    "rigid_transform", "rigid_transform_np", "similarity_transform",
+    "similarity_transform_np",
 ]

@@ -142,6 +142,29 @@ def similarity_transform_np(S1: _np.ndarray, S2: _np.ndarray):
     return _np.swapaxes(S1_hat, -1, -2), (scale, R, _np.squeeze(t, axis=-1))
 
 
+def rigid_transform_np(A: _np.ndarray, B: _np.ndarray):
+    """float64 Kabsch rigid (R, t) aligning point set A to B, NO scale.
+
+    Exact twin of pose_utils.py:30-84 (rigid_transform_3D): centroids,
+    H = Am Bm^T, SVD, reflection fix by flipping the last row of Vt, then
+    R = V U^T and t = -R c_A + c_B. Inputs are (N, 3) row-major points;
+    returns (R (3, 3), t (3,)) with B ~= A @ R.T + t.
+    """
+    A = _np.asarray(A, dtype=_np.float64).T   # work (3, N) like the reference
+    B = _np.asarray(B, dtype=_np.float64).T
+    cA = A.mean(axis=1, keepdims=True)
+    cB = B.mean(axis=1, keepdims=True)
+    H = (A - cA) @ (B - cB).T
+    U, _s, Vt = _np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if _np.linalg.det(R) < 0:                 # reflection case (:76-80)
+        Vt = Vt.copy()
+        Vt[2, :] *= -1
+        R = Vt.T @ U.T
+    t = (-R @ cA + cB)[:, 0]
+    return R, t
+
+
 def reconstruction_error_np(S1: _np.ndarray, S2: _np.ndarray, pa: bool = True,
                             reduction: str = 'mean') -> _np.ndarray:
     """float64 reconstruction error, exact twin of pose_utils.py:148-159."""

@@ -50,9 +50,76 @@ class TestPreprocessCLI:
         assert b.num_views == 2
         assert b.num_frames == 10  # min over views
         assert sorted(b.labels) == ["gt", "op"]
-        # framerate multiplier reflects per-view lengths
+        # framerate multiplier is the reference's raw-frames-per-resampled-
+        # frame n_seq_frames / num_frames (multi_view_sequence.py:300)
         np.testing.assert_allclose(b.framerate_multiplier,
-                                   [10 / 10, 10 / 14], atol=1e-6)
+                                   [10 / 10, 14 / 10], atol=1e-6)
+
+    def test_pack_vibe_2d_labels_and_glamr_world(self, raw_action, tmp_path,
+                                                 rng):
+        """VIBE joints2d -> labels_vibe (the eval_2d vibe columns' source,
+        neural_motion_model.py:558-560) and GLAMR orient/trans -> the
+        eval_3d_global world baseline (:1557-1577)."""
+        import joblib
+        import os.path as osp
+        from nemo_tpu.cli.preprocess import main
+        from nemo_tpu.data import MultiViewBundle
+        cfg, mats = raw_action
+        root = osp.join(str(tmp_path), "data")
+        glamr_paths = []
+        for v, name in enumerate(["vid0.mp4", "vid1.mp4"]):
+            T = 10 + 4 * v
+            vd = osp.join(root, name + "_vibe")
+            os.makedirs(vd)
+            person = {
+                "pose": rng.randn(T, 72).astype(np.float32),
+                "joints2d_img_coord":
+                    (rng.rand(T, 49, 2) * 100).astype(np.float32),
+                "frame_ids": np.arange(T),
+            }
+            joblib.dump({1: person}, osp.join(vd, "vibe_output.pkl"))
+            gp = osp.join(str(tmp_path), f"glamr{v}.pkl")
+            joblib.dump({"person_data": [{
+                "smpl_pose": rng.randn(T, 69).astype(np.float32),
+                "smpl_orient_cam": rng.randn(T, 3).astype(np.float32),
+                "root_trans_cam": rng.randn(T, 3).astype(np.float32),
+                "kp_2d": (rng.rand(T, 15, 3) * 100).astype(np.float32),
+            }]}, gp)
+            glamr_paths.append(gp)
+        out = str(tmp_path / "bundle_vibe.npz")
+        assert main(["--nemo_cfg_path", cfg, "--out", out,
+                     "--penn_mats", ",".join(mats),
+                     "--glamr_pkls", ",".join(glamr_paths)]) == 0
+        b = MultiViewBundle.load(out)
+        assert sorted(b.labels) == ["gt", "op", "vibe"]
+        assert b.labels["vibe"].shape == (2, 10, 25, 3)
+        # conf column = tracklet mask
+        np.testing.assert_allclose(b.labels["vibe"][..., 2], 1.0)
+        assert "glamr" in b.baseline_poses
+        assert b.glamr_orient.shape == (2, 10, 3)
+        assert b.glamr_trans.shape == (2, 10, 3)
+
+    def test_pack_spin_theta_slot(self, raw_action, tmp_path, rng):
+        """--spin_npys packs the V0-warmup SPIN slot; widths 69/72/85 all
+        normalize to (V, F, 69) (neural_motion_model.py:3216-3227)."""
+        from nemo_tpu.cli.preprocess import main
+        from nemo_tpu.data import MultiViewBundle
+        cfg, mats = raw_action
+        paths = []
+        for v, width in enumerate((85, 72)):
+            T = 10 + 4 * v
+            p = str(tmp_path / f"spin{v}.npy")
+            np.save(p, rng.randn(T, width).astype(np.float32))
+            paths.append(p)
+        out = str(tmp_path / "bundle_spin.npz")
+        assert main(["--nemo_cfg_path", cfg, "--out", out,
+                     "--penn_mats", ",".join(mats),
+                     "--spin_npys", ",".join(paths)]) == 0
+        b = MultiViewBundle.load(out)
+        assert b.spin_theta.shape == (2, 10, 69)
+        # width-85 input: body pose columns 6:75 survive
+        src = np.load(paths[0])
+        np.testing.assert_allclose(b.spin_theta[0, 0], src[0, 6:75])
 
     def test_pack_openpose_only(self, raw_action, tmp_path):
         from nemo_tpu.cli.preprocess import main

@@ -104,24 +104,67 @@ class TestCSV:
 
 
 class TestEval3DGlobal:
+    """eval_3d_global :992-1054 + rigid_transform_to_gt :1594-1651: an
+    ALL-FRAMES rigid Kabsch (no scale) fit on vertices, reference column
+    names mpjpe-ours/mpvpe-ours (+glamr)."""
+
+    def _world(self, model, pose, trans):
+        from nemo_tpu.eval.metrics import world_grid_forward
+        return world_grid_forward(model, pose, trans, n_joints=25)
+
     def test_zero_error_for_identical_worlds(self, model, rng):
         from nemo_tpu.eval import eval_3d_global
         V, F = 1, 4
         pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
         trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
-        stats = eval_3d_global(model, pose, trans, pose, trans)
-        assert stats["g_mpjpe-ours"][0] == pytest.approx(0.0, abs=0.5)
-        assert stats["g_mpvpe-ours"][0] == pytest.approx(0.0, abs=0.5)
+        v, j = self._world(model, pose, trans)
+        stats = eval_3d_global(model, j, v, pose, trans)
+        assert list(stats) == ["mpjpe-ours", "mpvpe-ours"]
+        assert stats["mpjpe-ours"][0] == pytest.approx(0.0, abs=0.5)
+        assert stats["mpvpe-ours"][0] == pytest.approx(0.0, abs=0.5)
 
-    def test_similarity_offset_removed(self, model, rng):
-        # a global rigid offset of the predicted world must be absorbed by
-        # the frame-0 alignment
+    def test_rigid_offset_removed(self, model, rng):
+        # a global rigid motion of the predicted world must be absorbed by
+        # the all-frames Kabsch alignment
+        from scipy.spatial.transform import Rotation as sRot
         from nemo_tpu.eval import eval_3d_global
         V, F = 1, 4
         pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
         trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
-        stats = eval_3d_global(model, pose, trans + 5.0, pose, trans)
-        assert stats["g_mpjpe-ours"][0] < 1.0  # mm
+        v, j = self._world(model, pose, trans)
+        R = sRot.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+        move = lambda X: X @ R.T + np.array([5.0, -2.0, 1.0])
+        stats = eval_3d_global(model, move(j), move(v), pose, trans)
+        assert stats["mpjpe-ours"][0] < 1.0  # mm
+
+    def test_scale_not_absorbed(self, model, rng):
+        # rigid_transform_3D has NO scale: a scaled pred world must NOT be
+        # normalized away (this distinguishes Kabsch from the similarity
+        # transform the reference reserves for find_pred2gt_transform)
+        from nemo_tpu.eval import eval_3d_global
+        V, F = 1, 4
+        pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
+        v, j = self._world(model, pose, trans)
+        stats = eval_3d_global(model, 1.5 * j, 1.5 * v, pose, trans)
+        assert stats["mpjpe-ours"][0] > 10.0  # mm
+
+    def test_glamr_columns_exact_order(self, model, rng):
+        from nemo_tpu.eval import eval_3d_global
+        V, F = 2, 3
+        pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        trans = (0.3 * rng.randn(V, F, 3)).astype(np.float32)
+        g_pose = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        g_trans = trans + 0.1
+        v, j = self._world(model, pose, trans)
+        stats = eval_3d_global(model, j, v, pose, trans,
+                               glamr_pose=g_pose, glamr_trans=g_trans)
+        # the reference's exact CSV column set and insertion order
+        # (neural_motion_model.py:1038-1052)
+        assert list(stats) == ["mpjpe-ours", "mpvpe-ours",
+                               "mpjpe-glamr", "mpvpe-glamr"]
+        assert len(stats["mpjpe-glamr"]) == V
+        assert stats["mpjpe-glamr"][0] > stats["mpjpe-ours"][0]
 
 
 class TestEval3dPaColumns:

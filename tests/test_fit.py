@@ -179,6 +179,38 @@ class TestEndToEndFit:
         m = fitter.fit(chunk=3)
         assert np.isfinite(m["total_loss"]).all()
 
+    def test_v0_warmup_uses_spin_theta_slot(self, small_model, problem):
+        """With both initializer slots packed, V0's warmup target is
+        spin_theta (:3216-3227), not the VIBE hmr_theta (:3441-3452)."""
+        import dataclasses as dc
+        from nemo_tpu.fit.model import warmup_loss
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=0, h_dim=16,
+                         monotonic_network_n_nodes=4, batch_size=8,
+                         label_type="gt")
+        spin = 0.3 * np.random.RandomState(3).randn(
+            bundle.num_views, bundle.num_frames, 69).astype(np.float32)
+        bundle2 = dc.replace(bundle, spin_theta=spin)
+        assets = build_assets(bundle2, small_model, cfg)
+        assert assets.spin_theta is not None
+        fitter = NemoFitter(cfg, assets, seed=0)
+        vi = jnp.zeros(4, jnp.int32)
+        fi = jnp.arange(4, dtype=jnp.int32)
+        loss_spin, _ = warmup_loss(fitter.state.params, cfg, assets, vi, fi)
+        # manual target: plain unmasked MSE against the SPIN slot
+        from nemo_tpu.fit.model import predict
+        preds = predict(fitter.state.params, cfg, assets, vi, fi)
+        want = float(((np.asarray(preds["poses"]) - spin[np.asarray(vi),
+                                                         np.asarray(fi)])
+                      ** 2).mean())
+        assert float(loss_spin) == pytest.approx(want, rel=1e-5)
+        # and a V1 fitter on the same assets still warms up on hmr_theta
+        cfg1 = dc.replace(cfg, model_version=1, instance_code_size=2)
+        assets1 = build_assets(bundle2, small_model, cfg1)
+        f1 = NemoFitter(cfg1, assets1, seed=0)
+        l1, _ = warmup_loss(f1.state.params, cfg1, assets1, vi, fi)
+        assert np.isfinite(float(l1))
+
     def test_v4_camera_stage_runs(self, small_model, problem):
         """V4's camera stage trains all params with detached pose + 25-joint
         indexing (:3959-4151)."""
@@ -194,6 +226,51 @@ class TestEndToEndFit:
         m = fitter.fit(chunk=3)
         assert np.isfinite(m["total_loss"]).all()
         assert "loss_3d" in m
+
+    def test_full_batch_stepping_converges(self, small_model, problem):
+        """cfg.full_batch: every main step runs the fixed (V x F) grid —
+        the custom entry's stepping mode
+        (learned_multi_view_recon_nn_custom.py:315,
+        neural_motion_model.py:3808-3817)."""
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=2, h_dim=32, instance_code_size=4,
+                         phase_rbf_dim=8, monotonic_network_n_nodes=5,
+                         phase_init="linear", batch_size=16, lr_factor=1.0,
+                         weight_gmm_loss=0.0, label_type="gt",
+                         warmup_step=5, opt_cam_step=5, n_steps=40,
+                         full_batch=True)
+        assets = build_assets(bundle, small_model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=0)
+        fitter.warmup()
+        fitter.opt_cam()
+        m = fitter.fit(chunk=40)
+        assert np.isfinite(m["total_loss"]).all()
+        # deterministic full-grid steps: loss decreases end to end
+        assert m["kp_loss"][-1] < m["kp_loss"][0]
+        # two runs are bit-identical (no batch sampling randomness)
+        fitter2 = NemoFitter(cfg, assets, seed=0)
+        fitter2.warmup()
+        fitter2.opt_cam()
+        m2 = fitter2.fit(chunk=40)
+        np.testing.assert_array_equal(np.asarray(m["kp_loss"]),
+                                      np.asarray(m2["kp_loss"]))
+
+    def test_eval_loss_sampled_batch(self, small_model, problem):
+        """eval_loss(full=False) draws one random batch (the entry script's
+        default init eval, :215-226) and must be finite + reproducible."""
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=1, h_dim=16, instance_code_size=0,
+                         monotonic_network_n_nodes=4, batch_size=8,
+                         lr_factor=1.0, weight_gmm_loss=0.0,
+                         label_type="gt")
+        assets = build_assets(bundle, small_model, cfg)
+        fitter = NemoFitter(cfg, assets, seed=0)
+        a = fitter.eval_loss(full=False)
+        b = fitter.eval_loss(full=False)
+        assert np.isfinite(a["total_loss"])
+        assert a["total_loss"] == b["total_loss"]  # same folded key
+        full = fitter.eval_loss(full=True)
+        assert np.isfinite(full["total_loss"])
 
     def test_fit_state_checkpointable(self, small_model, problem):
         bundle, _ = problem

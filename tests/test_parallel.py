@@ -54,6 +54,53 @@ def test_data_parallel_loss_matches_single_device(rng):
     np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-4)
 
 
+def test_nemo_fitter_dp_matches_single_device():
+    """The PRODUCT dp path (VERDICT r2 item 3): NemoFitter(mesh=...) runs
+    all three stage scans with the batch sharded over the 8-device mesh and
+    its loss trajectory matches the single-device fitter (same seed ->
+    identical sampled batches; only reduction order differs)."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, NemoFitter, build_assets
+
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=2, num_frames=8)
+    cfg = NemoConfig(model_version=2, h_dim=32, instance_code_size=4,
+                     phase_rbf_dim=8, monotonic_network_n_nodes=5,
+                     batch_size=16, weight_gmm_loss=0.5, label_type="gt",
+                     warmup_step=3, opt_cam_step=2, n_steps=5)
+    assets = build_assets(bundle, model, cfg)
+
+    f1 = NemoFitter(cfg, assets, seed=0)
+    f1.warmup()
+    f1.opt_cam()
+    m1 = f1.fit(chunk=5)
+
+    f2 = NemoFitter(cfg, assets, seed=0, mesh=make_mesh(8))
+    f2.warmup()
+    f2.opt_cam()
+    m2 = f2.fit(chunk=5)
+
+    np.testing.assert_allclose(np.asarray(m2["total_loss"]),
+                               np.asarray(m1["total_loss"]), rtol=2e-4)
+    # params stayed replicated and usable
+    assert f2.state.step == 5
+
+
+def test_nemo_fitter_dp_batch_divisibility_guard():
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, NemoFitter, build_assets
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=2, num_frames=4)
+    cfg = NemoConfig(model_version=1, h_dim=16, batch_size=12,
+                     label_type="gt", monotonic_network_n_nodes=4,
+                     instance_code_size=2)
+    assets = build_assets(bundle, model, cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        NemoFitter(cfg, assets, mesh=make_mesh(8))
+
+
 def test_graft_entry_dryrun():
     """The driver contract: dryrun_multichip(8) must run on the CPU mesh."""
     import importlib.util

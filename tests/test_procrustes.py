@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation as sRot
 
 from nemo_tpu.geometry import (
@@ -48,6 +49,55 @@ class TestRigid:
         np.testing.assert_allclose(np.asarray(that), t, atol=1e-2)
         Bhat = apply_rigid_transform(jnp.asarray(A), Rhat, that)
         np.testing.assert_allclose(np.asarray(Bhat), B, atol=1e-2)
+
+
+class TestRigidNp:
+    """float64 twin of the reference's rigid_transform_3D
+    (pose_utils.py:30-84) — the eval_3d_global alignment."""
+
+    def test_exact_recovery(self, rng):
+        from nemo_tpu.geometry import rigid_transform_np
+        A = rng.randn(40, 3)
+        R = sRot.random(1, random_state=3).as_matrix()[0]
+        t = np.array([0.7, -1.2, 2.5])
+        B = A @ R.T + t
+        Rhat, that = rigid_transform_np(A, B)
+        np.testing.assert_allclose(Rhat, R, atol=1e-10)
+        np.testing.assert_allclose(that, t, atol=1e-10)
+
+    def test_no_scale_component(self, rng):
+        # Kabsch must NOT absorb scale: aligning A -> 2A leaves residual.
+        from nemo_tpu.geometry import rigid_transform_np
+        A = rng.randn(30, 3)
+        R, t = rigid_transform_np(A, 2.0 * A)
+        resid = np.abs(A @ R.T + t - 2.0 * A).max()
+        assert resid > 0.1
+
+    def test_reflection_case_proper_rotation(self, rng):
+        from nemo_tpu.geometry import rigid_transform_np
+        A = rng.randn(25, 3)
+        B = A * np.array([-1.0, 1.0, 1.0])
+        R, t = rigid_transform_np(A, B)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-8)
+
+    def test_matches_reference_transcription(self, rng):
+        # independent hand transcription of pose_utils.py:30-84 on (3, N)
+        from nemo_tpu.geometry import rigid_transform_np
+        A = rng.randn(12, 3)
+        B = rng.randn(12, 3)
+        At, Bt = A.T, B.T
+        cA = At.mean(1, keepdims=True)
+        cB = Bt.mean(1, keepdims=True)
+        H = (At - cA) @ (Bt - cB).T
+        U, _s, Vt = np.linalg.svd(H)
+        Rw = Vt.T @ U.T
+        if np.linalg.det(Rw) < 0:
+            Vt[2, :] *= -1
+            Rw = Vt.T @ U.T
+        tw = (-Rw @ cA + cB)[:, 0]
+        R, t = rigid_transform_np(A, B)
+        np.testing.assert_allclose(R, Rw, atol=1e-12)
+        np.testing.assert_allclose(t, tw, atol=1e-12)
 
 
 class TestReconstructionError:
