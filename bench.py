@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ESTIMATE, not a measurement: the reference publishes no throughput numbers
@@ -27,6 +28,46 @@ import jax.numpy as jnp
 # tqdm-style step pacing of comparable single-GPU torch fit loops; every
 # "vs_baseline"/"~50x" figure downstream inherits this caveat.
 REFERENCE_STEPS_PER_SEC = 5.0
+
+# bf16 MXU peak by device kind (the bench default runs skinning tables and
+# network matmuls in bf16-class passes, so bf16 peak is the MFU denominator;
+# the f32 fraction of the step makes the reported MFU slightly conservative).
+_BF16_PEAK_FLOPS = {
+    "TPU v5e": 394e12, "TPU v5 lite": 394e12, "TPU v5litepod": 394e12,
+    "TPU v5p": 459e12, "TPU v5": 459e12,
+    "TPU v4": 275e12, "TPU v6e": 918e12, "TPU v6 lite": 918e12,
+}
+
+
+def step_flops(cfg, num_vertices: int, params, vposer) -> float:
+    """Analytic FLOPs of ONE main-stage optimization step.
+
+    Counts the terms that dominate the roofline (ROADMAP profile):
+      * skinning pose-offset matmuls (B, 207) @ (207, 3V): two forwards
+        (predicted mesh + VPoser-reconstructed mesh inside the fused
+        v2v-L1 kernel) + one backward (the reconstruction side; the
+        predicted side is detached in the v2v prior)
+      * skinning transform composes W(V, 24) @ A(B, 24, 16) and the
+        per-vertex affine apply, same three passes
+      * every dense layer (MotionNet trunk/heads, RBF, VPoser enc/dec)
+        at 6*B*m*n (forward + input-grad + weight-grad matmuls)
+    Elementwise work (rotations, losses, Adam) is bandwidth- not
+    FLOP-bound and intentionally excluded.
+    """
+    B = cfg.batch_size
+    V = num_vertices
+    f = 0.0
+    f += 3 * 2.0 * B * 207 * 3 * V          # pose-offset matmuls
+    f += 3 * 2.0 * B * 24 * 16 * V          # T = W @ A composes
+    f += 3 * 2.0 * B * V * 12               # affine vertex transform
+    for tree in (params.get("motion"), params.get("rbf"), vposer):
+        if tree is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(tree):
+            a = np.asarray(leaf)
+            if a.ndim == 2 and min(a.shape) > 1:
+                f += 6.0 * B * a.shape[0] * a.shape[1]
+    return f
 
 
 def main():
@@ -83,11 +124,25 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_timed / dt
+
+    # Whole-step MFU (VERDICT r2 item 7): analytic FLOPs x measured rate
+    # against the chip's bf16 peak. The step is SHAPE-bound (small K=24/207
+    # contractions at M=128 tiles — kernel_roofline.py), so low MFU here is
+    # a property of the workload, not unexhausted headroom.
+    vposer = assets.vposer
+    flops = step_flops(cfg, model.num_vertices, fitter.state.params, vposer)
+    achieved = flops * steps_per_sec
+    kind = jax.devices()[0].device_kind
+    peak = _BF16_PEAK_FLOPS.get(kind)
     print(json.dumps({
         "metric": "nemo_v2_fit_steps_per_sec_batch512",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+        "flops_per_step": round(flops),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_pct": (round(100 * achieved / peak, 2) if peak else None),
+        "device_kind": kind,
     }))
 
 

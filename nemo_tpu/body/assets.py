@@ -224,5 +224,11 @@ def synthetic_smpl_model(num_vertices: int = 6890, seed: int = 0,
     jre = np.abs(rng.randn(9, num_vertices)).astype(np.float32)
     jre /= jre.sum(axis=1, keepdims=True)
 
+    # nearest-neighbor triangles so mesh rendering (render_mesh_overlay /
+    # render_mesh_video) works on the synthetic model too
+    from scipy.spatial import cKDTree
+    _, nn = cKDTree(v_template).query(v_template, k=3)
+    faces = nn.astype(np.int64)
+
     return _assemble(v_template, shapedirs, posedirs_raw, Jreg, weights,
-                     parents, None, jre, num_betas)
+                     parents, faces, jre, num_betas)

@@ -339,7 +339,7 @@ def main(argv=None) -> int:
 
     if args.render_video:
         from ..render import (render_eval_grid, render_keypoint_rollout,
-                              render_overlay_video)
+                              render_mesh_video, render_overlay_video)
         render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
                                 pts2d, bundle)
         render_eval_grid(osp.join(out_dir, "eval_2d_grid.png"), pts2d,
@@ -347,6 +347,30 @@ def main(argv=None) -> int:
         out_vid = render_overlay_video(osp.join(out_dir, "overlay.mp4"),
                                        pts2d, bundle, cfg.label_type)
         print(f"[fit] overlay video: {out_vid}")
+        # SMPL-mesh rollout through the learned cameras — the reference's
+        # render_video('end') (entry :331, render_utils.py:90-145)
+        from ..geometry.camera import camera_from_params
+        if assets.smpl.faces is None:
+            print("[fit] no mesh faces in the SMPL model; skipping "
+                  "mesh rollout")
+        else:
+            mesh_verts = []
+            for v in range(V):
+                pv = predict(fitter.state.params, cfg, assets,
+                             jnp.full((F,), v, jnp.int32), jnp.arange(F),
+                             want_vertices=True)
+                mesh_verts.append(np.asarray(pv["v"]))
+            cams = [camera_from_params(fitter.state.params["cameras"][v],
+                                       assets.img_d0, assets.img_d1,
+                                       cfg.focal_length)
+                    for v in range(V)]
+            every = max(1, F // max(args.render_video, 1)) \
+                if args.render_video > 1 else 1
+            out_mesh = render_mesh_video(
+                osp.join(out_dir, "mesh_rollout.mp4"),
+                np.stack(mesh_verts), assets.smpl.faces, cams, bundle,
+                every=every)
+            print(f"[fit] mesh rollout: {out_mesh}")
 
     metrics_log.close()
     print(f"[fit] outputs in {out_dir}")

@@ -7,7 +7,7 @@ from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
                    vertex_normals)
-from .video import render_overlay_video
+from .video import render_mesh_video, render_overlay_video
 
 __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "render_keypoint_rollout",
@@ -16,4 +16,4 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "raster_render", "rasterize_triangles", "render_mesh_overlay",
            "render_pretty", "splat_render", "upsample_faces",
            "vertex_normals",
-           "render_overlay_video"]
+           "render_mesh_video", "render_overlay_video"]

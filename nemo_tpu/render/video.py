@@ -28,7 +28,7 @@ def render_overlay_video(out_path: str, pts2d_pred: np.ndarray, bundle,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from ..data.video import frames_to_video
+    from ..data.video import frames_to_video  # noqa: F401  (kept surface)
 
     V = min(bundle.num_views, max_views)
     F = bundle.num_frames
@@ -61,6 +61,86 @@ def render_overlay_video(out_path: str, pts2d_pred: np.ndarray, bundle,
             subprocess.run(cmd, check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
             # no ffmpeg: leave the frames where the caller can find them
+            fallback = out_path + ".frames"
+            os.makedirs(fallback, exist_ok=True)
+            import shutil
+            for name in os.listdir(tmp):
+                shutil.copy(osp.join(tmp, name), fallback)
+            return fallback
+    return out_path
+
+
+def _load_frame(path: str, img_hw) -> Optional[np.ndarray]:
+    """Read one video frame as float [0,1] (H, W, 3), resized by crop/pad to
+    the bundle's (D0, D1) if needed; None when unreadable."""
+    try:
+        import matplotlib.pyplot as plt
+        img = plt.imread(path)
+    except Exception:
+        return None
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = np.asarray(img, np.float32)[..., :3]
+    H, W = int(img_hw[0]), int(img_hw[1])
+    out = np.ones((H, W, 3), np.float32)
+    h, w = min(H, img.shape[0]), min(W, img.shape[1])
+    out[:h, :w] = img[:h, :w]
+    return out
+
+
+def render_mesh_video(out_path: str, verts: np.ndarray, faces: np.ndarray,
+                      cameras, bundle, fps: float = 30.0,
+                      max_views: int = 4, every: int = 1,
+                      method: str = "splat") -> str:
+    """SMPL-mesh rollout video: the reference's render_video('end') surface
+    (render_utils.py:90-145 driving hmr/renderer.py:88-181).
+
+    Per frame, each view's predicted mesh is rendered through its LEARNED
+    camera over the real video frame (bundle.frame_paths) or a white
+    background, views are horizontally concatenated, and the frames are
+    assembled with ffmpeg libx264 (or left as a .frames dir without ffmpeg).
+
+    Args:
+      verts: (V, F, N, 3) world-frame predicted vertices.
+      faces: (Nf, 3) triangle indices.
+      cameras: per-view Camera namedtuples (batch dims stripped).
+      every: render every k-th frame (render_video's num_frames subsampling).
+    """
+    from ..data.video import frames_to_video
+
+    V = min(bundle.num_views, max_views)
+    F = verts.shape[1]
+    H, W = int(bundle.img_d0), int(bundle.img_d1)
+    frame_paths = getattr(bundle, "frame_paths", None)
+
+    from .mesh import render_mesh_overlay
+    import jax.numpy as jnp
+
+    os.makedirs(osp.dirname(osp.abspath(out_path)), exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        out_idx = 0
+        for f in range(0, F, max(every, 1)):
+            panels = []
+            for v in range(V):
+                image = None
+                if frame_paths is not None:
+                    image = _load_frame(str(frame_paths[v][f]), (H, W))
+                panel = render_mesh_overlay(
+                    jnp.asarray(verts[v, f]), faces, cameras[v], image,
+                    (H, W), method=method)
+                panels.append(np.asarray(panel))
+            strip = np.concatenate(panels, axis=1)   # hconcat views
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(osp.join(tmp, f"{out_idx:06d}.png"),
+                       np.clip(strip, 0, 1))
+            out_idx += 1
+        try:
+            frames_to_video(tmp, out_path, fps=fps)
+            if not osp.exists(out_path):
+                raise OSError("ffmpeg produced no output")
+        except Exception:
             fallback = out_path + ".frames"
             os.makedirs(fallback, exist_ok=True)
             import shutil
