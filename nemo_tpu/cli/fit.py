@@ -332,10 +332,18 @@ def main(argv=None) -> int:
                         [bundle.glamr_orient,
                          bundle.baseline_poses["glamr"][..., :69]], -1),
                     "glamr_trans": bundle.glamr_trans}
-            stats_g = eval_3d_global(assets.smpl, np.stack(pred_j),
-                                     np.stack(pred_v), bundle.gt3d_pose,
-                                     bundle.gt3d_trans, **glamr_kwargs)
+            pred_trans = np.asarray(preds["trans"]).reshape(V, F, 3)
+            stats_g, aligned = eval_3d_global(
+                assets.smpl, np.stack(pred_j), np.stack(pred_v),
+                bundle.gt3d_pose, bundle.gt3d_trans,
+                pred_trans=pred_trans, want_aligned=True, **glamr_kwargs)
             write_csv(stats_g, osp.join(out_dir, "eval_3d_global.csv"))
+            # aligned root-trajectory overlay (the reference's overlay.png,
+            # plot_3d_dynamic tail :940-991), view 0
+            from ..render import render_global_overlay
+            render_global_overlay(
+                osp.join(out_dir, "overlay.png"), aligned["gt-t"][0],
+                aligned["pred-t"][0], aligned.get("glamr-t", [None])[0])
 
     if args.render_video:
         from ..render import (render_eval_grid, render_keypoint_rollout,
@@ -371,6 +379,19 @@ def main(argv=None) -> int:
                 np.stack(mesh_verts), assets.smpl.faces, cams, bundle,
                 every=every)
             print(f"[fit] mesh rollout: {out_mesh}")
+            # composed (view x frame) mesh grid + per-view comparison strip
+            # (render_rollout_figure :2214-2325, render_comparison_figure
+            # :2325-2407)
+            from ..render import (render_comparison_figure,
+                                  render_rollout_figure)
+            render_rollout_figure(
+                osp.join(out_dir, "rollout_figure.png"),
+                np.stack(mesh_verts), assets.smpl.faces, cams, bundle,
+                num_frames=min(8, F))
+            render_comparison_figure(
+                osp.join(out_dir, "comparison_view0.png"), 0,
+                mesh_verts[0], assets.smpl.faces, cams[0], bundle,
+                num_frames=min(6, F))
 
     metrics_log.close()
     print(f"[fit] outputs in {out_dir}")

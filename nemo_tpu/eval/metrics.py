@@ -234,7 +234,8 @@ def eval_3d_global(model: SMPLModel,
                    gt_pose: np.ndarray, gt_trans: np.ndarray,
                    glamr_pose: Optional[np.ndarray] = None,
                    glamr_trans: Optional[np.ndarray] = None,
-                   ) -> Dict[str, list]:
+                   pred_trans: Optional[np.ndarray] = None,
+                   want_aligned: bool = False):
     """Global-frame errors after an ALL-FRAMES rigid (Kabsch) alignment
     (eval_3d_global :992-1054 + rigid_transform_to_gt :1490-1651).
 
@@ -252,6 +253,11 @@ def eval_3d_global(model: SMPLModel,
     all-frames VERTICES pred->GT and applied to vertices and joints
     (:1594-1651); columns are exactly the reference's
     mpjpe-ours/mpvpe-ours/mpjpe-glamr/mpvpe-glamr (:1038-1052).
+
+    want_aligned=True additionally returns (stats, aligned) where aligned
+    holds per-view-aligned ROOT translations ('gt-t', 'pred-t', 'glamr-t'
+    when inputs were given) — rigid_transform_to_gt also transforms trans
+    (:1612-1617, :1643-1648), feeding the overlay.png trajectory plot.
     """
     from ..geometry.procrustes import rigid_transform_np
 
@@ -259,14 +265,16 @@ def eval_3d_global(model: SMPLModel,
     v_gt, j_gt = world_grid_forward(model, gt_pose, gt_trans)
 
     stats: Dict[str, list] = {"mpjpe-ours": [], "mpvpe-ours": []}
-    comparisons = [("ours", pred_v, pred_j[..., :15, :])]
+    aligned: Dict[str, np.ndarray] = {"gt-t": np.asarray(gt_trans)}
+    comparisons = [("ours", pred_v, pred_j[..., :15, :], pred_trans)]
     if glamr_pose is not None and glamr_trans is not None:
         v_gl, j_gl = world_grid_forward(model, glamr_pose, glamr_trans)
-        comparisons.append(("glamr", v_gl, j_gl))
+        comparisons.append(("glamr", v_gl, j_gl, glamr_trans))
         stats["mpjpe-glamr"] = []
         stats["mpvpe-glamr"] = []
 
-    for name, v_cmp, j_cmp in comparisons:
+    for name, v_cmp, j_cmp, t_cmp in comparisons:
+        t_out = [] if t_cmp is not None else None
         for v in range(V):
             R, t = rigid_transform_np(v_cmp[v].reshape(-1, 3),
                                       v_gt[v].reshape(-1, 3))
@@ -277,6 +285,13 @@ def eval_3d_global(model: SMPLModel,
                 1000 * reconstruction_error_np(j_gt[v], vj, pa=False)))
             stats[f"mpvpe-{name}"].append(float(
                 1000 * reconstruction_error_np(v_gt[v], vv, pa=False)))
+            if t_out is not None:
+                t_out.append(align(np.asarray(t_cmp[v])))
+        if t_out is not None:
+            key = "pred-t" if name == "ours" else f"{name}-t"
+            aligned[key] = np.stack(t_out)
+    if want_aligned:
+        return stats, aligned
     return stats
 
 

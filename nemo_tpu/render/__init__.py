@@ -7,6 +7,8 @@ from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
                    vertex_normals)
+from .figures import (render_comparison_figure, render_global_overlay,
+                      render_rollout_figure)
 from .video import render_mesh_video, render_overlay_video
 
 __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
@@ -16,4 +18,6 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "raster_render", "rasterize_triangles", "render_mesh_overlay",
            "render_pretty", "splat_render", "upsample_faces",
            "vertex_normals",
-           "render_mesh_video", "render_overlay_video"]
+           "render_mesh_video", "render_overlay_video",
+           "render_comparison_figure", "render_global_overlay",
+           "render_rollout_figure"]

@@ -1,0 +1,182 @@
+"""Composed multi-panel figure renderers.
+
+Behavioral reference: the MultiViewModel render-figure family —
+render_rollout_figure (nemo/neural_motion_model.py:2214-2325),
+render_comparison_figure (:2325-2407), the global-trajectory overlay plot
+(plot_3d_dynamic's aligned scatter + legend, :940-991) and the GT /
+pred-in-GT world rollouts (:1826-2035).
+
+TPU-first: the meshes arrive pre-batched from one predict() call per view
+(not the reference's per-frame pyrender loop); panels are composed with
+numpy hconcat/vconcat + nearest-neighbor resize (no cv2 dependency).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Optional, Sequence
+
+import numpy as np
+
+MAX_SIZE = 2000
+
+
+def _resize_nearest(img: np.ndarray, max_size: int = MAX_SIZE) -> np.ndarray:
+    """Cap the longer image side at max_size (the reference's cv2.resize at
+    :2312-2322), nearest-neighbor via index striding."""
+    H, W = img.shape[:2]
+    long_side = max(H, W)
+    if long_side <= max_size:
+        return img
+    scale = max_size / long_side
+    yi = np.clip((np.arange(int(H * scale)) / scale).astype(int), 0, H - 1)
+    xi = np.clip((np.arange(int(W * scale)) / scale).astype(int), 0, W - 1)
+    return img[yi][:, xi]
+
+
+def _compose_grid(rows: Sequence[Sequence[np.ndarray]],
+                  max_size: int = MAX_SIZE) -> np.ndarray:
+    """hconcat panels per row, vconcat rows (:2305-2311), then resize."""
+    row_imgs = [np.concatenate(list(r), axis=1) for r in rows]
+    grid = row_imgs[0] if len(row_imgs) == 1 \
+        else np.concatenate(row_imgs, axis=0)
+    return _resize_nearest(grid, max_size)
+
+
+def _frame_indices(num_frames: int, ncol: int,
+                   start_phase: float = 0.0) -> list:
+    """The reference's sampling: frame = round(phase * num_frames), phase =
+    start_phase + (1 - start_phase) * cidx / ncol (:2369-2370, :2258)."""
+    out = []
+    for cidx in range(ncol):
+        phase = start_phase + (1 - start_phase) * (cidx / ncol)
+        out.append(min(int(np.round(phase * num_frames)), num_frames - 1))
+    return out
+
+
+def _mesh_panel(verts_world, faces, camera, image, img_hw):
+    from .mesh import render_mesh_overlay
+    import jax.numpy as jnp
+    return np.asarray(render_mesh_overlay(jnp.asarray(verts_world), faces,
+                                          camera, image, img_hw))
+
+
+def _bundle_frame(bundle, view: int, frame: int) -> Optional[np.ndarray]:
+    paths = getattr(bundle, "frame_paths", None)
+    if paths is None:
+        return None
+    from .video import _load_frame
+    return _load_frame(str(paths[view][frame]),
+                       (bundle.img_d0, bundle.img_d1))
+
+
+def render_rollout_figure(path: str, verts: np.ndarray, faces: np.ndarray,
+                          cameras, bundle, num_frames: int = 10,
+                          num_views: int = -1, no_bg: bool = False,
+                          max_size: int = MAX_SIZE) -> np.ndarray:
+    """(views x sampled frames) grid of mesh-over-frame renders
+    (render_rollout_figure :2214-2325).
+
+    verts: (V, F, N, 3) world vertices; cameras: per-view Camera.
+    Returns the composed grid and writes it to path.
+    """
+    V, F = verts.shape[:2]
+    nrow = V if num_views < 0 else min(V, num_views)
+    ncol = min(F, num_frames) if num_frames > 0 else F
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    fidx = [int(np.round(c / ncol * F)) if c else 0 for c in range(ncol)]
+    fidx = [min(i, F - 1) for i in fidx]
+
+    rows = []
+    for v in range(nrow):
+        row = []
+        for f in fidx:
+            image = None if no_bg else _bundle_frame(bundle, v, f)
+            row.append(_mesh_panel(verts[v, f], faces, cameras[v],
+                                   image, hw))
+        rows.append(row)
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_comparison_figure(path: str, view_idx: int, verts: np.ndarray,
+                             faces: np.ndarray, camera, bundle,
+                             init_verts: Optional[np.ndarray] = None,
+                             init_cameras=None, num_frames: int = 6,
+                             start_phase: float = 0.0,
+                             max_size: int = MAX_SIZE) -> np.ndarray:
+    """One view's comparison strip (render_comparison_figure :2325-2407):
+    row 0 = raw frames (white when no frame_paths), optional middle row =
+    the initializer's mesh (the reference's SPIN/HMR panel, shown when
+    init_verts is given), last row = NeMo's mesh over the frame.
+
+    verts: (F, N, 3) world vertices for this view; init_verts same layout.
+    """
+    F = verts.shape[0]
+    ncol = min(F, num_frames) if num_frames > 0 else F
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    fidx = _frame_indices(F, ncol, start_phase)
+
+    data_row, init_row, pred_row = [], [], []
+    for f in fidx:
+        image = _bundle_frame(bundle, view_idx, f)
+        blank = np.ones(hw + (3,), np.float32)
+        data_row.append(image if image is not None else blank)
+        if init_verts is not None:
+            cam = init_cameras if init_cameras is not None else camera
+            init_row.append(_mesh_panel(init_verts[f], faces, cam,
+                                        image, hw))
+        pred_row.append(_mesh_panel(verts[f], faces, camera, image, hw))
+
+    rows = [data_row] + ([init_row] if init_row else []) + [pred_row]
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_global_overlay(path: str, gt_trans: np.ndarray,
+                          pred_trans: np.ndarray,
+                          glamr_trans: Optional[np.ndarray] = None) -> None:
+    """Aligned root-trajectory 3D scatter with the reference's exact color
+    coding — GT Greens, GLAMR Reds, NeMo Blues, 0.3->1 colormap ramp over
+    time, Line2D legend (plot_3d_dynamic tail, :940-991 -> overlay.png).
+
+    Inputs are (F, 3) world root translations AFTER rigid alignment (the
+    eval_3d_global transform).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.lines import Line2D
+
+    sets = [("GT", gt_trans, "Greens", "g"),
+            ("NeMo", pred_trans, "Blues", "b")]
+    if glamr_trans is not None:
+        sets.insert(1, ("GLAMR", glamr_trans, "Reds", "r"))
+
+    allpts = np.concatenate([s[1] for s in sets], axis=0)
+    mins, maxs = allpts.min(0), allpts.max(0)
+
+    fig = plt.figure()
+    ax = plt.axes(projection="3d")
+    ax.set_xlim([mins[0], maxs[0]])
+    ax.set_ylim([mins[1], maxs[1]])
+    ax.set_zlim([mins[2], maxs[2]])
+    for name, pts, cmap, _c in sets:
+        ax.scatter3D(pts[:, 0], pts[:, 1], pts[:, 2],
+                     c=np.linspace(0.3, 1, len(pts)), cmap=cmap)
+    ax.legend([Line2D([0], [0], color=s[3], lw=4) for s in sets],
+              [s[0] for s in sets])
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _imsave(path: str, img: np.ndarray) -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    plt.imsave(path, np.clip(img, 0.0, 1.0))

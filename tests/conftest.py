@@ -36,3 +36,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Flush the summary before interpreter teardown: the persistent
+    compile-cache flush at exit can otherwise swallow the final buffered
+    lines when stdout is a nohup/pipe (observed in round-2 review)."""
+    import sys
+    print(f"\n[conftest] pytest session finished: exitstatus={exitstatus}",
+          flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()

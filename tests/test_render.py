@@ -423,3 +423,72 @@ class TestMeshVideo:
             img = plt.imread(target)[..., :3]
             # background pixels show the 0.25-gray source frame
             assert (np.abs(img - 0.25) < 0.02).any()
+
+
+class TestComposedFigures:
+    def _setup(self, rng, V=2, F=4):
+        from nemo_tpu.data import MultiViewBundle
+        model = synthetic_smpl_model(num_vertices=200, seed=0)
+        verts = np.tile(np.asarray(model.v_template)[None, None],
+                        (V, F, 1, 1)).astype(np.float32)
+        cams = [Camera(rotation=jnp.eye(3),
+                       translation=jnp.array([0.0, 0.0, 8.0]),
+                       focal_length=jnp.asarray(500.0),
+                       center=jnp.array([24.0, 24.0]))
+                for _ in range(V)]
+        bundle = MultiViewBundle(
+            labels={"gt": rng.rand(V, F, 25, 3).astype(np.float32)},
+            hmr_theta=np.zeros((V, F, 69), np.float32),
+            hmr_mask=np.ones((V, F, 1), np.float32),
+            img_hw=np.array([48.0, 48.0], np.float32))
+        return model, verts, cams, bundle
+
+    def test_rollout_figure_grid_shape(self, tmp_path, rng):
+        """render_rollout_figure (:2214-2325): (views x frames) grid of
+        mesh panels, hconcat/vconcat composed."""
+        import os
+        from nemo_tpu.render import render_rollout_figure
+        model, verts, cams, bundle = self._setup(rng)
+        p = str(tmp_path / "roll.png")
+        grid = render_rollout_figure(p, verts, model.faces, cams, bundle,
+                                     num_frames=3)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 3 * 48, 3)
+        assert (grid < 0.99).any()          # mesh pixels present
+
+    def test_rollout_figure_resize_cap(self, tmp_path, rng):
+        from nemo_tpu.render import render_rollout_figure
+        model, verts, cams, bundle = self._setup(rng, V=1, F=2)
+        grid = render_rollout_figure(str(tmp_path / "r.png"), verts,
+                                     model.faces, cams, bundle,
+                                     num_frames=2, max_size=60)
+        assert max(grid.shape[:2]) <= 60    # MAX_SIZE cap (:2312-2322)
+
+    def test_comparison_figure_rows(self, tmp_path, rng):
+        """render_comparison_figure (:2325-2407): data row + optional
+        initializer row + NeMo row for one view."""
+        import os
+        from nemo_tpu.render import render_comparison_figure
+        model, verts, cams, bundle = self._setup(rng, V=1, F=4)
+        p = str(tmp_path / "cmp.png")
+        grid = render_comparison_figure(p, 0, verts[0], model.faces,
+                                        cams[0], bundle,
+                                        init_verts=verts[0] + 0.01,
+                                        num_frames=2)
+        assert os.path.exists(p)
+        assert grid.shape == (3 * 48, 2 * 48, 3)   # 3 rows with init
+        grid2 = render_comparison_figure(str(tmp_path / "c2.png"), 0,
+                                         verts[0], model.faces, cams[0],
+                                         bundle, num_frames=2)
+        assert grid2.shape == (2 * 48, 2 * 48, 3)  # 2 rows without
+
+    def test_global_overlay_writes(self, tmp_path, rng):
+        import os
+        from nemo_tpu.render import render_global_overlay
+        p = str(tmp_path / "overlay.png")
+        render_global_overlay(p, rng.randn(10, 3), rng.randn(10, 3),
+                              rng.randn(10, 3))
+        assert os.path.exists(p)
+        render_global_overlay(str(tmp_path / "o2.png"), rng.randn(5, 3),
+                              rng.randn(5, 3))   # no GLAMR
+        assert os.path.exists(str(tmp_path / "o2.png"))
