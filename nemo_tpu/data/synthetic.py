@@ -60,7 +60,11 @@ def make_cameras(num_views: int, depth: float = 10.0, seed: int = 0
                        [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
         params[v, :3] = [0.1 * rng.randn(), 0.1 * rng.randn(),
                          depth + rng.randn()]
-        params[v, 3:] = np.asarray(rotmat_to_rot6d(jnp.asarray(Ry)))
+        # rot6d = first two columns, row-major (rotations.rotmat_to_rot6d)
+        # in numpy: per-view EAGER jax dispatches cost ~50 s EACH over the
+        # axon TPU tunnel (measured 209 s for 4 views — the entire
+        # "Data loading" stall of every CLI run)
+        params[v, 3:] = Ry[:, :2].reshape(6)
     return params
 
 

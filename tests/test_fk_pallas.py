@@ -61,6 +61,19 @@ class TestFkCompose:
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                    atol=1e-5)
 
+    @pytest.mark.slow
+    def test_pallas_interpret_bwd_matches_xla(self, inputs):
+        """Backward-kernel interpret-mode parity (slow tier: interpret-mode
+        emulation of the bwd program costs ~1 min on the 1-core box)."""
+        R_l, t_l, parents = inputs
+        want = fk_pallas._fk_xla(R_l, t_l, parents)
+
+        orig = fk_pallas.pl.pallas_call
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
         g = (jax.random.normal(jax.random.PRNGKey(0), want[0].shape),
              jax.random.normal(jax.random.PRNGKey(1), want[1].shape))
         want_g = fk_pallas._bwd_xla(R_l, t_l, want[0], g[0], g[1], parents)
