@@ -92,13 +92,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--humor_ckpt", type=str, default="",
                    help="HuMoR torch checkpoint to convert (synthetic "
                         "weights are used if unset with --synthetic_assets)")
+    p.add_argument("--init-motion-prior", dest="init_motion_prior",
+                   type=str, default="",
+                   help="init-state GMM prior path for HuMoR fitting "
+                        "(custom entry :125; consumed by "
+                        "models/humor_fit.py:load_init_motion_prior)")
     p.add_argument("--full_batch", action="store_true", default=False,
                    help="step the main loop on the full (V x F) grid "
                         "instead of random batches (the custom entry's "
                         "mode, learned_multi_view_recon_nn_custom.py:315)")
-    p.add_argument("--eval_full_batch", action="store_true", default=False,
-                   help="run the init eval on the full grid (entry "
-                        "script :220-226); default samples one batch")
+    p.add_argument("--eval_full_batch", type=int, default=1,
+                   help="1 (reference default, entry :56) runs the "
+                        "init/stage evals on the full (V x F) grid; 0 "
+                        "samples one batch like step(update=False)")
     p.add_argument("--dp", type=int, default=0,
                    help="shard the per-step batch over an N-device "
                         "data-parallel mesh (params replicated; XLA "
@@ -108,6 +114,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label_intersection_threshold", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render_video", type=int, default=0)
+    p.add_argument("--render_rollout_figure", action="store_true",
+                   default=False,
+                   help="emit the (view x frame) mesh grid figure "
+                        "standalone (entry :102, render method :2214)")
+    # accepted for drop-in compatibility with the reference entry surface;
+    # data-layer flags are handled by cli/preprocess (offline packing) and
+    # the remaining ones are dead in the reference too (wandb/commented)
+    for flag, kw in (("--data_loader_type", dict(type=str, default="")),
+                     ("--db", dict(action="store_true", default=False)),
+                     ("--n_frames", dict(type=int, default=-1)),
+                     ("--start_phase", dict(type=float, default=0.0)),
+                     ("--sequence_ids", dict(type=str, default="")),
+                     ("--run_hmr", dict(action="store_true", default=False)),
+                     ("--use_adam", dict(action="store_true", default=False)),
+                     ("--optimize_flip", dict(action="store_true",
+                                              default=False)),
+                     ("--render_each_frame", dict(action="store_true",
+                                                  default=False)),
+                     ("--user", dict(type=str, default=""))):
+        p.add_argument(flag, help=argparse.SUPPRESS, **kw)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--render_every", type=int, default=0,
                    help="emit a keypoint-rollout PNG every N fit steps "
@@ -213,7 +239,7 @@ def main(argv=None) -> int:
     metrics_log = MetricWriter(osp.join(out_dir, "metrics.jsonl"))
 
     if not args.test:
-        init_metrics = fitter.eval_loss(full=args.eval_full_batch)
+        init_metrics = fitter.eval_loss(full=bool(args.eval_full_batch))
         metrics_log.write({"phase": "init", **init_metrics})
 
         with Timer("Warmup"):
@@ -228,6 +254,11 @@ def main(argv=None) -> int:
                 key = "cam_loss" if "cam_loss" in cm else "total_loss"
                 metrics_log.write({"phase": "opt_cam_done",
                                    "loss": float(cm[key][-1])})
+            # post-cam-opt eval (the reference's `_cam.pt` info dump,
+            # entry :255-268, full_batch per --eval_full_batch)
+            metrics_log.write({"phase": "cam_eval",
+                               **fitter.eval_loss(
+                                   full=bool(args.eval_full_batch))})
 
         def render_rollout(f, step):
             """In-fit keypoint rollout (entry script :283-288)."""
@@ -345,16 +376,17 @@ def main(argv=None) -> int:
                 osp.join(out_dir, "overlay.png"), aligned["gt-t"][0],
                 aligned["pred-t"][0], aligned.get("glamr-t", [None])[0])
 
-    if args.render_video:
+    if args.render_video or args.render_rollout_figure:
         from ..render import (render_eval_grid, render_keypoint_rollout,
                               render_mesh_video, render_overlay_video)
-        render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
-                                pts2d, bundle)
-        render_eval_grid(osp.join(out_dir, "eval_2d_grid.png"), pts2d,
-                         bundle, cfg.label_type)
-        out_vid = render_overlay_video(osp.join(out_dir, "overlay.mp4"),
-                                       pts2d, bundle, cfg.label_type)
-        print(f"[fit] overlay video: {out_vid}")
+        if args.render_video:
+            render_keypoint_rollout(osp.join(out_dir, "rollout.png"),
+                                    pts2d, bundle)
+            render_eval_grid(osp.join(out_dir, "eval_2d_grid.png"), pts2d,
+                             bundle, cfg.label_type)
+            out_vid = render_overlay_video(osp.join(out_dir, "overlay.mp4"),
+                                           pts2d, bundle, cfg.label_type)
+            print(f"[fit] overlay video: {out_vid}")
         # SMPL-mesh rollout through the learned cameras — the reference's
         # render_video('end') (entry :331, render_utils.py:90-145)
         from ..geometry.camera import camera_from_params
@@ -372,13 +404,14 @@ def main(argv=None) -> int:
                                        assets.img_d0, assets.img_d1,
                                        cfg.focal_length)
                     for v in range(V)]
-            every = max(1, F // max(args.render_video, 1)) \
-                if args.render_video > 1 else 1
-            out_mesh = render_mesh_video(
-                osp.join(out_dir, "mesh_rollout.mp4"),
-                np.stack(mesh_verts), assets.smpl.faces, cams, bundle,
-                every=every)
-            print(f"[fit] mesh rollout: {out_mesh}")
+            if args.render_video:
+                every = max(1, F // max(args.render_video, 1)) \
+                    if args.render_video > 1 else 1
+                out_mesh = render_mesh_video(
+                    osp.join(out_dir, "mesh_rollout.mp4"),
+                    np.stack(mesh_verts), assets.smpl.faces, cams, bundle,
+                    every=every)
+                print(f"[fit] mesh rollout: {out_mesh}")
             # composed (view x frame) mesh grid + per-view comparison strip
             # (render_rollout_figure :2214-2325, render_comparison_figure
             # :2325-2407)

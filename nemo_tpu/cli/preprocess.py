@@ -48,6 +48,11 @@ def build_parser():
                    help="comma-separated Penn Action labels/NNNN.mat paths "
                         "(one per view) -> 'gt' 2D labels via the 13->25 "
                         "L/R-swapped mapping")
+    p.add_argument("--penn_root", type=str, default="",
+                   help="Penn Action root for seq_names-style action YAMLs "
+                        "(PennActionMultiViewSequence layout: frames/NNNN, "
+                        "labels/NNNN.mat, openpose/NNNN, "
+                        "vibe_results/NNNN/vibe_output.pkl)")
     # 3D baseline slots for eval_3d columns (comma-separated, one per view;
     # the reference's vs/pare/glamr loaders, multi_view_sequence.py:336-392)
     p.add_argument("--vs_pkls", type=str, default="",
@@ -59,6 +64,106 @@ def build_parser():
     return p
 
 
+def pack_penn(args, cfg) -> int:
+    """Pack a seq_names-style Penn Action YAML.
+
+    Mirrors PennActionMultiViewSequence (multi_view_sequence.py:511-640):
+    layout <root>/{frames,labels,openpose,vibe_results}/NNNN, sequences
+    where VIBE returned an empty dict are skipped (:526-537), the common
+    frame count is min(n_frames, min_views_frames - round(min*start) - 1)
+    (:541-550), and GT 2D comes from the 13->25 L/R-swapped mapping.
+    """
+    import joblib
+
+    from ..data import (MultiViewBundle, load_openpose_dir,
+                        load_penn_sequence, load_vibe_pickle,
+                        person_joints2d, resample_to_common_frames,
+                        vibe_to_theta)
+    from ..data.bundle import resample_indices
+
+    root = args.penn_root or cfg.get("root", "")
+    if not root:
+        raise ValueError("seq_names YAML needs --penn_root (the reference's "
+                         "PENN_ACTION_ROOT)")
+
+    seq_ids = []
+    for sid in cfg["seq_names"]:
+        raw = joblib.load(osp.join(root, "vibe_results", sid,
+                                   "vibe_output.pkl"))
+        if raw == {}:
+            print(f"[preprocess] VIBE failed for {sid}, skipping...")
+            continue
+        seq_ids.append(sid)
+
+    lens = []
+    for sid in seq_ids:
+        fdir = osp.join(root, "frames", sid)
+        lens.append(len([f for f in os.listdir(fdir)
+                         if f.lower().endswith((".jpg", ".png"))]))
+    min_frames = min(lens)
+    start_min = np.round(min_frames * args.start_phase)
+    F = int(min(args.n_frames if args.n_frames > 0 else np.inf,
+                min_frames - start_min - 1))
+
+    op_views, gt_views, theta_views, j2d_views, frame_views = \
+        [], [], [], [], []
+    for v, sid in enumerate(seq_ids):
+        gt_views.append(load_penn_sequence(
+            osp.join(root, "labels", f"{sid}.mat")))
+        op_views.append(load_openpose_dir(osp.join(root, "openpose", sid)))
+        person = load_vibe_pickle(
+            osp.join(root, "vibe_results", sid, "vibe_output.pkl"),
+            lens[v], gt_2d=gt_views[v])
+        if person is not None:
+            theta_views.append(vibe_to_theta(person))
+            j2d_views.append(person_joints2d(person))
+        else:
+            theta_views.append(np.zeros((lens[v], 70), np.float32))
+            j2d_views.append(None)
+        fdir = osp.join(root, "frames", sid)
+        frame_views.append(sorted(
+            osp.join(fdir, f) for f in os.listdir(fdir)
+            if f.lower().endswith((".jpg", ".png"))))
+
+    labels = {
+        "op": resample_to_common_frames(op_views, F,
+                                        args.start_phase).astype(np.float32),
+        "gt": resample_to_common_frames(gt_views, F,
+                                        args.start_phase).astype(np.float32),
+    }
+    if all(j is not None for j in j2d_views):
+        labels["vibe"] = resample_to_common_frames(
+            j2d_views, F, args.start_phase).astype(np.float32)
+    theta_all = resample_to_common_frames(theta_views, F, args.start_phase)
+
+    if args.img_h and args.img_w:
+        img_hw = np.array([args.img_h, args.img_w], np.float32)
+    else:
+        mx = labels["gt"][..., :2].reshape(-1, 2).max(0)
+        img_hw = np.array([np.ceil(mx[1] * 1.05), np.ceil(mx[0] * 1.05)],
+                          np.float32)
+
+    kwargs = {}
+    if all(len(f) for f in frame_views):
+        kwargs["frame_paths"] = np.stack([
+            np.asarray(f)[resample_indices(len(f), F, args.start_phase)]
+            for f in frame_views])
+
+    bundle = MultiViewBundle(
+        labels=labels,
+        hmr_theta=theta_all[..., :69].astype(np.float32),
+        hmr_mask=theta_all[..., 69:70].astype(np.float32),
+        img_hw=img_hw,
+        framerate_multiplier=np.asarray(
+            [l / max(F, 1) for l in lens], np.float32),
+        name=osp.splitext(osp.basename(args.nemo_cfg_path))[0],
+        **kwargs)
+    bundle.save(args.out)
+    print(f"[preprocess] wrote {args.out} "
+          f"({len(seq_ids)} penn sequences, F={F})")
+    return 0
+
+
 def main(argv=None) -> int:
     from ..data import (MultiViewBundle, load_openpose_dir, load_vibe_pickle,
                         resample_to_common_frames, vibe_to_theta)
@@ -66,6 +171,8 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
     cfg = load_action_config(args.nemo_cfg_path)
+    if "seq_names" in cfg and "videos" not in cfg:
+        return pack_penn(args, cfg)
     exp_dir = cfg["exp_dir"]
     names = cfg["videos"]["names"]
 

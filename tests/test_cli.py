@@ -99,6 +99,64 @@ class TestPreprocessCLI:
         assert b.glamr_orient.shape == (2, 10, 3)
         assert b.glamr_trans.shape == (2, 10, 3)
 
+    def test_pack_penn_seq_names_layout(self, tmp_path, rng):
+        """seq_names-style YAML + --penn_root packs the reference's Penn
+        Action layout (PennActionMultiViewSequence,
+        multi_view_sequence.py:511-640), skipping VIBE-failed sequences and
+        using min-frames - round(min*start) - 1 as the frame budget."""
+        import joblib
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from scipy.io import savemat
+        from nemo_tpu.cli.preprocess import main
+        from nemo_tpu.data import MultiViewBundle
+
+        root = tmp_path / "penn"
+        seqs = {"0001": 12, "0002": 15, "0003": 9}  # 0003 will "fail"
+        for sid, T in seqs.items():
+            (root / "frames" / sid).mkdir(parents=True)
+            (root / "openpose" / sid).mkdir(parents=True)
+            (root / "labels").mkdir(parents=True, exist_ok=True)
+            (root / "vibe_results" / sid).mkdir(parents=True)
+            for f in range(T):
+                plt.imsave(str(root / "frames" / sid / f"{f + 1:06d}.jpg"),
+                           np.zeros((8, 8, 3), np.float32))
+                kp = np.zeros((25, 3), np.float32)
+                kp[:, 0] = 50 + 20 * rng.rand(25)
+                kp[:, 1] = 40 + 30 * rng.rand(25)
+                kp[:, 2] = 0.9
+                with open(root / "openpose" / sid /
+                          f"{f:06d}_keypoints.json", "w") as fh:
+                    json.dump({"people": [
+                        {"pose_keypoints_2d": kp.ravel().tolist()}]}, fh)
+            savemat(str(root / "labels" / f"{sid}.mat"),
+                    {"x": rng.rand(T, 13) * 100, "y": rng.rand(T, 13) * 100,
+                     "visibility": np.ones((T, 13))})
+            if sid == "0003":
+                joblib.dump({}, str(root / "vibe_results" / sid /
+                                    "vibe_output.pkl"))   # VIBE failed
+            else:
+                person = {"pose": rng.randn(T, 72).astype(np.float32),
+                          "joints2d_img_coord":
+                              (rng.rand(T, 49, 2) * 80).astype(np.float32),
+                          "frame_ids": np.arange(T)}
+                joblib.dump({1: person}, str(root / "vibe_results" / sid /
+                                             "vibe_output.pkl"))
+        cfg = tmp_path / "penn_action.yml"
+        cfg.write_text(yaml.safe_dump(
+            {"seq_names": ["0001", "0002", "0003"]}))
+        out = str(tmp_path / "penn.npz")
+        assert main(["--nemo_cfg_path", str(cfg), "--out", out,
+                     "--penn_root", str(root)]) == 0
+        b = MultiViewBundle.load(out)
+        assert b.num_views == 2                  # 0003 skipped
+        assert b.num_frames == 11                # min(12,15) - 0 - 1
+        assert sorted(b.labels) == ["gt", "op", "vibe"]
+        assert b.frame_paths.shape == (2, 11)
+        np.testing.assert_allclose(b.framerate_multiplier,
+                                   [12 / 11, 15 / 11], rtol=1e-6)
+
     def test_pack_spin_theta_slot(self, raw_action, tmp_path, rng):
         """--spin_npys packs the V0-warmup SPIN slot; widths 69/72/85 all
         normalize to (V, F, 69) (neural_motion_model.py:3216-3227)."""
@@ -150,11 +208,16 @@ class TestFitCLIUnit:
             "--instance_code_size", "0", "--monotonic_network_n_nodes", "3",
             "--batch_size", "4", "--n_steps", "2", "--warmup_step", "2",
             "--opt_cam_step", "2", "--weight_gmm_loss", "0",
-            "--save_every", "2", "--out_dir", out_dir])
+            "--save_every", "2", "--out_dir", out_dir,
+            # reference-surface compat flags (accepted no-ops) + the
+            # standalone figure flag (entry :102)
+            "--data_loader_type", "generic", "--sequence_ids", "0001,0002",
+            "--use_adam", "--render_rollout_figure"])
         assert rc == 0
         run = os.path.join(out_dir, "000000")
         for f in ("config.json", "metrics.jsonl", "losses.npz",
-                  "eval_2d.csv", "phases.png"):
+                  "eval_2d.csv", "phases.png", "rollout_figure.png",
+                  "comparison_view0.png"):
             assert os.path.exists(os.path.join(run, f)), f
 
 
