@@ -7,7 +7,9 @@ from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
                    vertex_normals)
-from .figures import (render_comparison_figure, render_global_overlay,
+from .figures import (gt_cameras_for_render, render_comparison_figure,
+                      render_glamr_rollout, render_global_overlay,
+                      render_gt_rollout, render_pred_in_gt_rollout,
                       render_rollout_figure)
 from .video import render_mesh_video, render_overlay_video
 
@@ -20,4 +22,6 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "vertex_normals",
            "render_mesh_video", "render_overlay_video",
            "render_comparison_figure", "render_global_overlay",
-           "render_rollout_figure"]
+           "render_rollout_figure", "render_gt_rollout",
+           "render_pred_in_gt_rollout", "render_glamr_rollout",
+           "gt_cameras_for_render"]

@@ -180,3 +180,95 @@ def _imsave(path: str, img: np.ndarray) -> None:
     import matplotlib.pyplot as plt
     os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
     plt.imsave(path, np.clip(img, 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# world-frame rollouts through the GT-fit cameras
+# (render_gt_rollout :1924-2035, render_pred_in_gt_rollout :1826-1923,
+#  render_glamr_rollout :1652-1825)
+# ---------------------------------------------------------------------------
+
+def gt_cameras_for_render(gt_cameras9: np.ndarray, img_hw,
+                          focal_length: float = 5000.0):
+    """Per-view Camera list from the packed opt_cam 9-vectors.
+
+    Mirrors the reference's GT-rollout intrinsics quirk: camera_center is
+    (IMG_D0, IMG_D1) — the FULL image dims, not the halved projection
+    convention (:1980-1983)."""
+    import jax.numpy as jnp
+    from ..geometry.camera import Camera
+    from ..geometry.rotations import rot6d_to_rotmat
+
+    cams = []
+    for cam9 in np.asarray(gt_cameras9):
+        cams.append(Camera(
+            rotation=rot6d_to_rotmat(jnp.asarray(cam9[3:])[None])[0],
+            translation=jnp.asarray(cam9[:3]),
+            focal_length=jnp.asarray(focal_length),
+            center=jnp.asarray([float(img_hw[0]), float(img_hw[1])])))
+    return cams
+
+
+def _gt_world(model, bundle, n_joints=15):
+    from ..eval.metrics import world_grid_forward
+    return world_grid_forward(model, bundle.gt3d_pose, bundle.gt3d_trans,
+                              n_joints=n_joints)
+
+
+def render_gt_rollout(path: str, model, bundle, num_frames: int = 8,
+                      focal_length: float = 5000.0) -> np.ndarray:
+    """GT world motion through the GT-fit cameras (:1924-2035)."""
+    v_gt, _ = _gt_world(model, bundle)
+    cams = gt_cameras_for_render(bundle.gt_cameras, bundle.img_hw,
+                                 focal_length)
+    return render_rollout_figure(path, v_gt, model.faces, cams, bundle,
+                                 num_frames=num_frames)
+
+
+def render_pred_in_gt_rollout(path: str, model, pred_v: np.ndarray,
+                              bundle, num_frames: int = 8,
+                              focal_length: float = 5000.0) -> np.ndarray:
+    """Predicted world meshes rigid-aligned into the GT world, rendered
+    through the GT cameras (:1826-1923; alignment = rigid_transform_to_gt).
+
+    pred_v: (V, F, N, 3) pred world vertices (get_preds 'v' + trans).
+    """
+    from ..geometry.procrustes import rigid_transform_np
+
+    v_gt, _ = _gt_world(model, bundle)
+    aligned = np.empty_like(pred_v)
+    for v in range(pred_v.shape[0]):
+        R, t = rigid_transform_np(pred_v[v].reshape(-1, 3),
+                                  v_gt[v].reshape(-1, 3))
+        aligned[v] = (pred_v[v].reshape(-1, 3) @ R.T + t).reshape(
+            pred_v[v].shape)
+    cams = gt_cameras_for_render(bundle.gt_cameras, bundle.img_hw,
+                                 focal_length)
+    return render_rollout_figure(path, aligned, model.faces, cams, bundle,
+                                 num_frames=num_frames)
+
+
+def render_glamr_rollout(path: str, model, bundle, num_frames: int = 8,
+                         focal_length: float = 5000.0) -> np.ndarray:
+    """GLAMR world baseline rigid-aligned into the GT world (:1652-1825);
+    needs the bundle's glamr pose/orient/trans slots."""
+    from ..eval.metrics import world_grid_forward
+    from ..geometry.procrustes import rigid_transform_np
+
+    if bundle.glamr_orient is None or bundle.glamr_trans is None or \
+            "glamr" not in (bundle.baseline_poses or {}):
+        raise ValueError("bundle carries no GLAMR world baseline")
+    g_pose = np.concatenate([bundle.glamr_orient,
+                             bundle.baseline_poses["glamr"][..., :69]], -1)
+    v_gl, _ = world_grid_forward(model, g_pose, bundle.glamr_trans)
+    v_gt, _ = _gt_world(model, bundle)
+    aligned = np.empty_like(v_gl)
+    for v in range(v_gl.shape[0]):
+        R, t = rigid_transform_np(v_gl[v].reshape(-1, 3),
+                                  v_gt[v].reshape(-1, 3))
+        aligned[v] = (v_gl[v].reshape(-1, 3) @ R.T + t).reshape(
+            v_gl[v].shape)
+    cams = gt_cameras_for_render(bundle.gt_cameras, bundle.img_hw,
+                                 focal_length)
+    return render_rollout_figure(path, aligned, model.faces, cams, bundle,
+                                 num_frames=num_frames)

@@ -492,3 +492,68 @@ class TestComposedFigures:
         render_global_overlay(str(tmp_path / "o2.png"), rng.randn(5, 3),
                               rng.randn(5, 3))   # no GLAMR
         assert os.path.exists(str(tmp_path / "o2.png"))
+
+
+class TestWorldRollouts:
+    """render_gt_rollout / render_pred_in_gt_rollout / render_glamr_rollout
+    (:1652-2035): world meshes through the GT-fit cameras, rigid-aligned
+    into the GT world for pred/GLAMR."""
+
+    def _bundle(self, rng, V=2, F=3):
+        from nemo_tpu.data import MultiViewBundle
+        return MultiViewBundle(
+            labels={"gt": rng.rand(V, F, 25, 3).astype(np.float32)},
+            hmr_theta=np.zeros((V, F, 69), np.float32),
+            hmr_mask=np.ones((V, F, 1), np.float32),
+            img_hw=np.array([40.0, 40.0], np.float32),
+            gt3d_pose=(0.2 * rng.randn(V, F, 72)).astype(np.float32),
+            gt3d_trans=(0.2 * rng.randn(V, F, 3)).astype(np.float32),
+            gt_cameras=np.concatenate(
+                [np.tile([0, 0, 9], (V, 1)),
+                 np.tile(np.eye(3)[:, :2].reshape(6), (V, 1))],
+                axis=1).astype(np.float32),
+            glamr_orient=(0.2 * rng.randn(V, F, 3)).astype(np.float32),
+            glamr_trans=(0.2 * rng.randn(V, F, 3)).astype(np.float32),
+            baseline_poses={"glamr":
+                            rng.randn(V, F, 70).astype(np.float32) * 0.2})
+
+    def test_gt_rollout_grid(self, tmp_path, rng):
+        import os
+        from nemo_tpu.render import render_gt_rollout
+        model = synthetic_smpl_model(num_vertices=200, seed=0)
+        b = self._bundle(rng)
+        p = str(tmp_path / "gt_roll.png")
+        grid = render_gt_rollout(p, model, b, num_frames=2)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 40, 2 * 40, 3)
+
+    def test_pred_in_gt_alignment_and_glamr(self, tmp_path, rng):
+        import os
+        from nemo_tpu.eval.metrics import world_grid_forward
+        from nemo_tpu.render import (render_glamr_rollout,
+                                     render_pred_in_gt_rollout)
+        model = synthetic_smpl_model(num_vertices=200, seed=0)
+        b = self._bundle(rng)
+        # pred world = GT world + a rigid offset; alignment must undo it,
+        # so the rendered grid equals the GT rollout's
+        v_gt, _ = world_grid_forward(model, b.gt3d_pose, b.gt3d_trans)
+        pred_v = v_gt + np.array([3.0, -1.0, 2.0], np.float32)
+        g1 = render_pred_in_gt_rollout(str(tmp_path / "p.png"), model,
+                                       pred_v, b, num_frames=2)
+        from nemo_tpu.render import render_gt_rollout
+        g0 = render_gt_rollout(str(tmp_path / "g.png"), model, b,
+                               num_frames=2)
+        np.testing.assert_allclose(g1, g0, atol=1e-3)
+        g2 = render_glamr_rollout(str(tmp_path / "gl.png"), model, b,
+                                  num_frames=2)
+        assert os.path.exists(str(tmp_path / "gl.png"))
+        assert g2.shape == g0.shape
+
+    def test_glamr_rollout_requires_world_slots(self, tmp_path, rng):
+        from nemo_tpu.render import render_glamr_rollout
+        model = synthetic_smpl_model(num_vertices=200, seed=0)
+        b = self._bundle(rng)
+        import dataclasses as dc
+        b2 = dc.replace(b, glamr_orient=None)
+        with pytest.raises(ValueError, match="GLAMR"):
+            render_glamr_rollout(str(tmp_path / "x.png"), model, b2)
