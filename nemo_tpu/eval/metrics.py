@@ -72,6 +72,24 @@ def dynamic_frame_mask(gt_joints15: np.ndarray,
     return mask
 
 
+def eval_frame_indices(F: int, num_frames: int = -1) -> np.ndarray:
+    """The reference's eval frame sampling: ncol = min(F, num_frames) when
+    num_frames > 0 else F; frame = round(cidx / ncol * F)
+    (eval loops :1139, :2258)."""
+    ncol = F if num_frames < 0 else min(F, num_frames)
+    return np.minimum(np.round(np.arange(ncol) / ncol * F).astype(np.int64),
+                      F - 1)
+
+
+def eval_view_indices(V: int, num_views: int = -1,
+                      view_idxs=()) -> np.ndarray:
+    """View selection: explicit view_idxs, else the first min(V, num_views)
+    (:1063-1075)."""
+    if len(view_idxs):
+        return np.asarray(view_idxs, np.int64)
+    return np.arange(V if num_views < 0 else min(V, num_views))
+
+
 def eval_3d(model: SMPLModel,
             pred_pose: np.ndarray,
             gt_pose: np.ndarray,
@@ -80,6 +98,9 @@ def eval_3d(model: SMPLModel,
             dynamic_only: bool = False,
             framerate_multiplier: Optional[np.ndarray] = None,
             pa: bool = True,
+            num_frames: int = -1,
+            num_views: int = -1,
+            view_idxs=(),
             ) -> Dict[str, list]:
     """Per-view MPJPE/MPVPE table (eval_3d :1056-1282).
 
@@ -88,15 +109,21 @@ def eval_3d(model: SMPLModel,
       gt_pose: (V, F, 72) GT full pose; joints from gt_pose[..., 3:] with
         identity global orient, exactly like the reference.
       baselines: optional {name: (V, F, 69)} body poses (vibe/vs/pare/glamr).
-      dynamic_only: restrict frames to the GT high-velocity span.
+      dynamic_only: restrict frames to the GT high-velocity span (the mask
+        is computed over ALL frames, then applied to the sampled set, like
+        the reference's skip at :1255-1257).
       pa: also emit pa_mpjpe-* columns (Procrustes-aligned,
         reconstruction_error pa=True — the BASELINE.md north-star metric; a
         superset of the reference's CSV columns).
+      num_frames / num_views / view_idxs: the reference eval methods'
+        subsampling surface (:1060-1075, frame = round(cidx/ncol*F)).
     Returns:
       {column: [per-view values]} with the reference's column names.
     """
     V, F = pred_pose.shape[:2]
     baselines = baselines or {}
+    views = eval_view_indices(V, num_views, view_idxs)
+    fidx = eval_frame_indices(F, num_frames)
 
     def grid(poses69):
         v, j = smpl_grid_forward(model, poses69.reshape(V * F, 69))
@@ -117,8 +144,8 @@ def eval_3d(model: SMPLModel,
     stats: Dict[str, list] = {}
 
     def add(name, v_cmp, j_cmp):
-        for v in range(V):
-            sel = masks[v] > 0
+        for v in views:
+            sel = fidx[masks[v][fidx] > 0]
             mpvpe = 1000 * reconstruction_error_np(v_gt[v][sel],
                                                    v_cmp[v][sel], pa=False)
             mpjpe = 1000 * reconstruction_error_np(j_gt[v][sel],
@@ -178,7 +205,10 @@ def pck_2d(pred: np.ndarray, gt: np.ndarray, conf: np.ndarray,
 def eval_2d(points2d_pred: np.ndarray,
             labels: Dict[str, np.ndarray],
             gt_label: np.ndarray,
-            bbox_diag: np.ndarray) -> Dict[str, list]:
+            bbox_diag: np.ndarray,
+            num_frames: int = -1,
+            num_views: int = -1,
+            view_idxs=()) -> Dict[str, list]:
     """Per-view 2D table (eval_2d :522-710): first 15 joints only.
 
     Args:
@@ -186,19 +216,23 @@ def eval_2d(points2d_pred: np.ndarray,
       labels: {name: (V, F, 25, >=2)} baseline 2D sets (op/vibe/vs/pare).
       gt_label: (V, F, 25, 3) GT 2D with confidence.
       bbox_diag: (V, F).
+      num_frames / num_views / view_idxs: the reference's subsampling
+        surface (:533-546, frame = round(cidx/ncol*F) at :593).
     """
-    V = points2d_pred.shape[0]
+    V, F = points2d_pred.shape[:2]
+    views = eval_view_indices(V, num_views, view_idxs)
+    fidx = eval_frame_indices(F, num_frames)
     stats: Dict[str, list] = {}
 
     def add(name, pts):
-        for v in range(V):
-            p = pts[v][:, :15, :2]
-            g = gt_label[v][:, :15, :2]
-            c = gt_label[v][:, :15, 2:]
+        for v in views:
+            p = pts[v][fidx][:, :15, :2]
+            g = gt_label[v][fidx][:, :15, :2]
+            c = gt_label[v][fidx][:, :15, 2:]
             stats.setdefault(f"recon_error_2d-{name}", []).append(
                 rmse_2d(p, g, c))
             stats.setdefault(f"pck-{name}", []).append(
-                pck_2d(p, g, c, bbox_diag[v]))
+                pck_2d(p, g, c, bbox_diag[v][fidx]))
 
     add("ours", points2d_pred)
     for k, pts in labels.items():
@@ -235,7 +269,10 @@ def eval_3d_global(model: SMPLModel,
                    glamr_pose: Optional[np.ndarray] = None,
                    glamr_trans: Optional[np.ndarray] = None,
                    pred_trans: Optional[np.ndarray] = None,
-                   want_aligned: bool = False):
+                   want_aligned: bool = False,
+                   num_frames: int = -1,
+                   num_views: int = -1,
+                   view_idxs=()):
     """Global-frame errors after an ALL-FRAMES rigid (Kabsch) alignment
     (eval_3d_global :992-1054 + rigid_transform_to_gt :1490-1651).
 
@@ -261,21 +298,31 @@ def eval_3d_global(model: SMPLModel,
     """
     from ..geometry.procrustes import rigid_transform_np
 
-    V = gt_pose.shape[0]
-    v_gt, j_gt = world_grid_forward(model, gt_pose, gt_trans)
+    V, F = gt_pose.shape[:2]
+    views = eval_view_indices(V, num_views, view_idxs)
+    fidx = eval_frame_indices(F, num_frames)
+
+    def sub(a):
+        return None if a is None else np.asarray(a)[:, fidx]
+
+    gt_trans = sub(gt_trans)
+    v_gt, j_gt = world_grid_forward(model, np.asarray(gt_pose)[:, fidx],
+                                    gt_trans)
 
     stats: Dict[str, list] = {"mpjpe-ours": [], "mpvpe-ours": []}
     aligned: Dict[str, np.ndarray] = {"gt-t": np.asarray(gt_trans)}
-    comparisons = [("ours", pred_v, pred_j[..., :15, :], pred_trans)]
+    comparisons = [("ours", sub(pred_v), sub(pred_j)[..., :15, :],
+                    sub(pred_trans))]
     if glamr_pose is not None and glamr_trans is not None:
-        v_gl, j_gl = world_grid_forward(model, glamr_pose, glamr_trans)
-        comparisons.append(("glamr", v_gl, j_gl, glamr_trans))
+        v_gl, j_gl = world_grid_forward(model, np.asarray(glamr_pose)[:, fidx],
+                                        sub(glamr_trans))
+        comparisons.append(("glamr", v_gl, j_gl, sub(glamr_trans)))
         stats["mpjpe-glamr"] = []
         stats["mpvpe-glamr"] = []
 
     for name, v_cmp, j_cmp, t_cmp in comparisons:
         t_out = [] if t_cmp is not None else None
-        for v in range(V):
+        for v in views:
             R, t = rigid_transform_np(v_cmp[v].reshape(-1, 3),
                                       v_gt[v].reshape(-1, 3))
             align = lambda X: X.reshape(-1, 3) @ R.T + t

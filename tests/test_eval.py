@@ -232,3 +232,42 @@ class TestBaselinePickles:
         assert "glamr" in b2.baseline_poses
         np.testing.assert_allclose(b2.baseline_poses["glamr"],
                                    b.baseline_poses["glamr"])
+
+
+class TestEvalSubsampling:
+    """The reference eval methods' num_frames/num_views/view_idxs surface
+    (:1060-1075; frame = round(cidx / ncol * F))."""
+
+    def test_frame_indices_formula(self):
+        from nemo_tpu.eval.metrics import eval_frame_indices
+        F = 10
+        got = eval_frame_indices(F, 4)
+        want = [int(np.round(c / 4 * F)) for c in range(4)]
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(eval_frame_indices(F, -1), np.arange(F))
+        # num_frames > F clamps to F
+        assert len(eval_frame_indices(F, 99)) == F
+
+    def test_eval_3d_subsampled_views_and_frames(self, model, rng):
+        V, F = 3, 8
+        gt = (0.2 * rng.randn(V, F, 72)).astype(np.float32)
+        pred = gt[..., 3:] + 0.1
+        full = eval_3d(model, pred, gt, pa=False)
+        sub = eval_3d(model, pred, gt, pa=False, num_frames=4,
+                      view_idxs=(0, 2))
+        assert len(sub["mpjpe-ours"]) == 2
+        # view 0 all-frames value differs from the 4-frame subsample in
+        # general, but both are finite and the same order of magnitude
+        assert np.isfinite(sub["mpjpe-ours"]).all()
+        assert len(full["mpjpe-ours"]) == V
+
+    def test_eval_2d_subsampled(self, rng):
+        V, F = 2, 6
+        gt = (100 * rng.rand(V, F, 25, 3)).astype(np.float32)
+        gt[..., 2] = 1.0
+        pred = gt[..., :2] + 1.0
+        diag = np.full((V, F), 100.0, np.float32)
+        sub = eval_2d(pred, {}, gt, diag, num_frames=3, num_views=1)
+        assert len(sub["recon_error_2d-ours"]) == 1
+        np.testing.assert_allclose(sub["recon_error_2d-ours"][0],
+                                   np.sqrt(2.0 + 1e-6), rtol=1e-4)
