@@ -169,3 +169,95 @@ class TestReferenceTwin:
         # hands learned_betas to an optimizer).
         assert np.all(params_np["betas"] == 0.0)
         assert np.all(twin.learned_betas.detach().numpy() == 0.0)
+
+
+def _make_v3_problem():
+    cfg = NemoConfig(
+        model_version=3, h_dim=32, instance_code_size=4,
+        phase_rbf_dim=8, rbf_kernel="quadratic",
+        monotonic_network_n_nodes=6, batch_size=12,
+        weight_vp_loss=10.0, weight_vp_z_loss=1.0, weight_gmm_loss=0.5,
+        weight_instance_loss=0.3, weight_3d_loss=0.7, code_noise=0.0,
+        label_type="gt", lr_factor=1.0,
+    )
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=3, num_frames=10, seed=0)
+    gmm = synthetic_gmm_prior(4)
+    vposer = init_vposer(jax.random.PRNGKey(7))
+    assets = build_assets(bundle, model, cfg, gmm=gmm, vposer=vposer)
+    params = init_params(jax.random.PRNGKey(0), cfg, assets.num_views,
+                         assets.img_d0)
+    twin = TorchNemoV2(cfg, model,
+                       {k: np.asarray(v) for k, v in vposer.items()},
+                       gmm, np.asarray(assets.points2d_gt),
+                       np.asarray(assets.bbox_diag),
+                       assets.img_d0, assets.img_d1,
+                       hmr_theta=np.asarray(assets.hmr_theta),
+                       hmr_mask=np.asarray(assets.hmr_mask))
+    twin.set_params(jax.tree_util.tree_map(np.asarray, params))
+    return cfg, assets, params, twin
+
+
+class TestReferenceTwinV3V4:
+    def test_v3_fit_loss_matches_torch_reference(self):
+        """V3 extras pinned: instance-code L2 (:3863-3866) + the
+        mse_robust 3D theta loss (:3868-3881)."""
+        cfg, assets, params, twin = _make_v3_problem()
+        vi, fi = _batch(0, assets.num_views, assets.num_frames,
+                        cfg.batch_size)
+        loss_j, metrics_j = jax.jit(
+            lambda p, v, f: fit_loss(p, cfg, assets, v, f, training=False)
+        )(params, jnp.asarray(vi), jnp.asarray(fi))
+        loss_t, metrics_t = twin.fit_loss(torch.as_tensor(vi).long(),
+                                          torch.as_tensor(fi).long())
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-5)
+        for k in ("kp_loss", "instance_loss", "loss_3d", "gmm_loss",
+                  "vp_recon_loss", "total_loss"):
+            np.testing.assert_allclose(
+                float(metrics_j[k]), float(metrics_t[k]), rtol=5e-5,
+                err_msg=f"V3 metric {k} diverges from the torch twin")
+
+    def test_v4_camera_stage_matches_torch_reference(self):
+        """V4's camera stage pinned: detached pose, priors off, 3D on,
+        straight 25-joint projection (:4060-4149, :3997-3998)."""
+        import dataclasses as dc
+        from nemo_tpu.fit.model import camera_stage_loss
+        cfg, assets, params, twin = _make_v3_problem()
+        cfg4 = dc.replace(cfg, model_version=4)
+        assets4 = assets   # same tensors; joint indexing is cfg-driven
+        twin.cfg = cfg4
+        vi, fi = _batch(3, assets.num_views, assets.num_frames,
+                        cfg.batch_size)
+        loss_j, metrics_j = jax.jit(
+            lambda p, v, f: camera_stage_loss(p, cfg4, assets4, v, f)
+        )(params, jnp.asarray(vi), jnp.asarray(fi))
+        loss_t, metrics_t = twin.camera_stage_loss(
+            torch.as_tensor(vi).long(), torch.as_tensor(fi).long())
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-5)
+        for k in ("kp_loss", "loss_3d", "total_loss"):
+            np.testing.assert_allclose(
+                float(metrics_j[k]), float(metrics_t[k]), rtol=1e-4,
+                err_msg=f"V4 camera-stage metric {k} diverges")
+        # priors must be absent from the camera stage on both sides
+        assert "gmm_loss" not in metrics_t
+        assert "vp_recon_loss" not in metrics_t
+
+    def test_v4_detach_pose_gradient_semantics(self):
+        """detach_pose: the pose head's rotmat grads vanish through the
+        kp data term but orient/trans still receive them (:4010-4058)."""
+        import dataclasses as dc
+        from nemo_tpu.fit.model import camera_stage_loss
+        cfg, assets, params, twin = _make_v3_problem()
+        cfg4 = dc.replace(cfg, model_version=4, weight_3d_loss=0.0)
+        vi, fi = _batch(5, assets.num_views, assets.num_frames,
+                        cfg.batch_size)
+        grads = jax.grad(lambda p: camera_stage_loss(
+            p, cfg4, assets, jnp.asarray(vi), jnp.asarray(fi))[0])(params)
+        # the rotation head's first 6 columns are the global orient (still
+        # trained); columns 6: feed only the detached body pose -> zero
+        w_rot_g = np.asarray(grads["motion"]["W_rot"])
+        assert float(np.abs(w_rot_g[:, 6:]).max()) == 0
+        assert float(np.abs(w_rot_g[:, :6]).max()) > 0
+        # the trans head and cameras still learn
+        assert float(np.abs(np.asarray(grads["motion"]["W_lin"])).max()) > 0
+        assert float(np.abs(np.asarray(grads["cameras"])).max()) > 0

@@ -236,8 +236,10 @@ class TorchNemoV2:
     """Reference NemoV2 semantics with parameters injected from the jax fit."""
 
     def __init__(self, cfg, smpl_model, vposer_np, gmm, points2d_gt,
-                 bbox_diag, img_d0, img_d1):
+                 bbox_diag, img_d0, img_d1, hmr_theta=None, hmr_mask=None):
         self.cfg = cfg
+        self.hmr_theta = None if hmr_theta is None else _t(hmr_theta)
+        self.hmr_mask = None if hmr_mask is None else _t(hmr_mask)
         self.smpl = TorchSMPL(smpl_model)
         self.vp = {k: _t(v) for k, v in vposer_np.items()}
         self.gmm_means = _t(gmm.means)
@@ -336,8 +338,8 @@ class TorchNemoV2:
 
     # -- forward ------------------------------------------------------------
 
-    def get_preds_batch(self, view_idx, frame_idx):
-        """(:3637-3672, V2 :3733-3781)."""
+    def get_preds_batch(self, view_idx, frame_idx, detach_pose=False):
+        """(:3637-3672, V2 :3733-3781; V4 detach at :4010-4058)."""
         cfg = self.cfg
         raw = torch.linspace(0, 1, self.num_frames)[frame_idx].unsqueeze(1)
         warped = torch.cat([
@@ -356,8 +358,10 @@ class TorchNemoV2:
             inp = torch.cat([inp, self.learned_instance_code[view_idx]], 1)
         pose_d, orient_d, trans = self.motion_net(inp)
 
+        body_rotmat = pose_d["rotmat"].detach() if detach_pose \
+            else pose_d["rotmat"]
         verts, joints49 = self.smpl.forward(self.learned_betas,
-                                            pose_d["rotmat"],
+                                            body_rotmat,
                                             orient_d["rotmat"])
         # trans(phase=0) anchor (:3754-3766): zero phase through the RBF,
         # ZERO instance code.
@@ -370,7 +374,10 @@ class TorchNemoV2:
         trans0 = self.motion_net(anchor_in)[-1]
         trans = trans - trans0
         joints49 = joints49 + trans.unsqueeze(1)
-        idx = [38] + list(range(1, 25))
+        # V4 projects straight 25-joint indexing (:3997-3998); V0-3 swap
+        # in joint 38 for the nose (:3061)
+        idx = list(range(25)) if getattr(cfg, "model_version", 2) >= 4 \
+            else [38] + list(range(1, 25))
         return {"j": joints49[:, idx], "poses": pose_d["pose"],
                 "orient": orient_d["rot6d"], "orient_aa": orient_d["pose"],
                 "trans": trans}
@@ -439,10 +446,15 @@ class TorchNemoV2:
         nll = 0.5 * quad - torch.log(self.gmm_nll_weights)
         return nll.min(dim=1)[0].mean()
 
-    def fit_loss(self, view_idx, frame_idx):
-        """One V2 training-step loss (:3511-3598)."""
+    def fit_loss(self, view_idx, frame_idx, detach_pose=False,
+                 include_priors=True, include_3d=None):
+        """One training-step loss (V2 :3511-3598; V3 extras :3860-3896;
+        V4 camera stage = detach_pose + priors off + 3D on :4060-4149)."""
         cfg = self.cfg
-        preds = self.get_preds_batch(view_idx, frame_idx)
+        if include_3d is None:
+            include_3d = include_priors
+        preds = self.get_preds_batch(view_idx, frame_idx,
+                                     detach_pose=detach_pose)
         points2d = self.learned_camera_projection(preds["j"], view_idx)
         gt = self.points2d_gt[view_idx, frame_idx]
         gt_size = self.bbox_diag[view_idx, frame_idx]
@@ -455,17 +467,44 @@ class TorchNemoV2:
         loss = loss / len(view_idx.unique())
         metrics = {"kp_loss": loss.detach().clone()}
 
-        v2v, kl = self.vposer_loss(preds["poses"], preds["orient"])
-        metrics["vp_recon_loss"] = v2v.detach()
-        metrics["vp_kl_loss"] = kl.detach()
-        if cfg.weight_vp_loss:
-            loss = loss + cfg.weight_vp_loss * v2v
-        if cfg.weight_vp_z_loss:
-            loss = loss + cfg.weight_vp_z_loss * kl
+        if include_priors:
+            if cfg.weight_vp_loss or cfg.weight_vp_z_loss:
+                v2v, kl = self.vposer_loss(preds["poses"], preds["orient"])
+                metrics["vp_recon_loss"] = v2v.detach()
+                metrics["vp_kl_loss"] = kl.detach()
+                if cfg.weight_vp_loss:
+                    loss = loss + cfg.weight_vp_loss * v2v
+                if cfg.weight_vp_z_loss:
+                    loss = loss + cfg.weight_vp_z_loss * kl
 
-        g = self.gmm_prior_loss(preds["poses"])
-        metrics["gmm_loss"] = g.detach()
-        if cfg.weight_gmm_loss:
-            loss = loss + cfg.weight_gmm_loss * g
+            # V3+ instance-code L2 (:3863-3866)
+            if getattr(cfg, "model_version", 2) >= 3 and \
+                    cfg.instance_code_size > 0:
+                inst = (self.learned_instance_code ** 2).mean()
+                metrics["instance_loss"] = inst.detach()
+                if cfg.weight_instance_loss:
+                    loss = loss + cfg.weight_instance_loss * inst
+
+            if cfg.weight_gmm_loss:
+                g = self.gmm_prior_loss(preds["poses"])
+                metrics["gmm_loss"] = g.detach()
+                loss = loss + cfg.weight_gmm_loss * g
+
+        # V3+ 3D theta loss (:3868-3881)
+        if include_3d and getattr(cfg, "weight_3d_loss", 0) and \
+                getattr(cfg, "model_version", 2) >= 3:
+            theta = self.hmr_theta[view_idx, frame_idx]
+            mask = self.hmr_mask[view_idx, frame_idx]
+            l3d = keypoint_loss(preds["poses"], theta, mask,
+                                loss_type="mse_robust").mean()
+            metrics["loss_3d"] = l3d.detach()
+            loss = loss + cfg.weight_3d_loss * l3d
+
         metrics["total_loss"] = loss.detach().clone()
         return loss, metrics
+
+    def camera_stage_loss(self, view_idx, frame_idx):
+        """V4's all-param camera stage: detached pose, priors off, 3D on
+        (:4060-4149)."""
+        return self.fit_loss(view_idx, frame_idx, detach_pose=True,
+                             include_priors=False, include_3d=True)
