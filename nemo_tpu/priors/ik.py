@@ -3,8 +3,10 @@
 Behavioral reference: human_body_prior/models/ik_engine.py:156-287 — fit
 (VPoser latent z, betas, global orient, translation) so the posed body's
 source keypoints match 3D targets, with per-part data weights plus z/betas
-regularizers. The reference runs torch LBFGS/Adam closures; here each fit is
-one jitted lax.scan of Adam steps.
+regularizers. The reference runs torch LBFGS/Adam closures (:246-252); here
+each fit is one jitted lax.scan of optimizer steps, selectable between
+Adam and L-BFGS (optax.lbfgs with its zoom linesearch — the compiled
+counterpart of torch.optim.LBFGS's closure loop).
 """
 
 from __future__ import annotations
@@ -28,6 +30,9 @@ class IKConfig:
     data_weight: float = 100.0
     z_weight: float = 1.0      # latent magnitude regularizer
     betas_weight: float = 0.5
+    # 'adam' | 'lbfgs' — the reference's optimizer switch
+    # (ik_engine.py:246-252); lbfgs uses far fewer steps per solve
+    optimizer: str = "adam"
 
 
 def ik_fit(smpl: SMPLModel, vposer: VPoserParams,
@@ -79,13 +84,24 @@ def ik_fit(smpl: SMPLModel, vposer: VPoserParams,
         loss = loss + cfg.betas_weight * (p["betas"] ** 2).mean()
         return loss
 
-    opt = optax.adam(cfg.lr)
+    if cfg.optimizer == "lbfgs":
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    def step(carry, _):
-        p, state = carry
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        upd, state = opt.update(g, state)
-        return (optax.apply_updates(p, upd), state), loss
+        def step(carry, _):
+            p, state = carry
+            loss, g = value_and_grad(p, state=state)
+            upd, state = opt.update(g, state, p, value=loss, grad=g,
+                                    value_fn=loss_fn)
+            return (optax.apply_updates(p, upd), state), loss
+    else:
+        opt = optax.adam(cfg.lr)
+
+        def step(carry, _):
+            p, state = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            upd, state = opt.update(g, state)
+            return (optax.apply_updates(p, upd), state), loss
 
     (params, _), losses = jax.lax.scan(
         step, (params0, opt.init(params0)), None, length=cfg.num_steps)
