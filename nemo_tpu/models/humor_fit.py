@@ -52,6 +52,10 @@ class MotionOptConfig:
     init_motion_prior_weight: float = 0.075  # init-state GMM NLL (cfg :26)
     contact_height_thresh: float = 0.08    # CONTACT_HEIGHT_THRESH (:18)
     optimize_camera: bool = False          # learn cam rotation + translation
+    # 'adam' | 'lbfgs' — the reference optimizes every stage with
+    # torch.optim.LBFGS closures (motion_optimizer.py:233-285); lbfgs here
+    # is optax.lbfgs + linesearch inside the same jitted scan
+    optimizer: str = "adam"
 
 
 # SMPL joints predicted as contacts by HuMoR: hips, knees, ankles, toes,
@@ -79,18 +83,36 @@ def _floor_height(points: jnp.ndarray, floor: jnp.ndarray) -> jnp.ndarray:
     return (points @ floor) / norm - norm
 
 
-def _run_adam(loss_fn, params0, steps, lr):
-    opt = optax.adam(lr)
+def _run_opt(loss_fn, params0, steps, lr, optimizer="adam"):
+    """One jitted scan of optimizer steps: Adam, or optax.lbfgs with its
+    zoom linesearch (the compiled counterpart of the reference's
+    torch.optim.LBFGS closure loops, motion_optimizer.py:233-285)."""
+    if optimizer == "lbfgs":
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    def step(carry, _):
-        p, s = carry
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        u, s = opt.update(g, s)
-        return (optax.apply_updates(p, u), s), loss
+        def step(carry, _):
+            p, s = carry
+            loss, g = value_and_grad(p, state=s)
+            u, s = opt.update(g, s, p, value=loss, grad=g,
+                              value_fn=loss_fn)
+            return (optax.apply_updates(p, u), s), loss
+    else:
+        opt = optax.adam(lr)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s)
+            return (optax.apply_updates(p, u), s), loss
 
     (p, _), losses = jax.lax.scan(step, (params0, opt.init(params0)), None,
                                   length=steps)
     return p, losses
+
+
+def _run_adam(loss_fn, params0, steps, lr):
+    return _run_opt(loss_fn, params0, steps, lr, optimizer="adam")
 
 
 def load_init_motion_prior(path: str) -> Dict[str, jnp.ndarray]:
@@ -180,7 +202,8 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         return _reproj_loss(j, t, cam_center, focal_length, kp2d, cfg.rho,
                             cam_R=R)
 
-    s1, l1 = _run_adam(s1_loss, s1_0, cfg.steps_stage1, cfg.lr)
+    s1, l1 = _run_opt(s1_loss, s1_0, cfg.steps_stage1, cfg.lr,
+                      cfg.optimizer)
     cam_R_fit, cam_t_fit = cam_of(s1)
 
     # ---- stage 2: full pose sequence + betas + smoothness ----
@@ -199,7 +222,8 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         return (data + cfg.smooth_weight * smooth
                 + cfg.shape_prior_weight * shape_prior)
 
-    s2, l2 = _run_adam(s2_loss, s2_0, cfg.steps_stage2, cfg.lr)
+    s2, l2 = _run_opt(s2_loss, s2_0, cfg.steps_stage2, cfg.lr,
+                      cfg.optimizer)
     betas_fit = s2["betas"]
 
     # ---- stage 3: latent-space motion (initial state + z sequence) ----
@@ -303,7 +327,8 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                     (p["floor"] - floor0) ** 2).sum()
         return loss
 
-    s3, l3 = _run_adam(s3_loss, s3_0, cfg.steps_stage3, cfg.lr)
+    s3, l3 = _run_opt(s3_loss, s3_0, cfg.steps_stage3, cfg.lr,
+                      cfg.optimizer)
     pose, trans, _, _ = decode_motion(s3)
 
     out = {"pose": pose, "trans": trans, "z": s3["z"][0],

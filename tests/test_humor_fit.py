@@ -131,3 +131,35 @@ def test_init_state_gmm_prior(rng, tmp_path):
                            jnp.asarray([112.0, 112.0]), cfg=cfg,
                            init_motion_prior=prior)
     assert np.isfinite(np.asarray(out["stage3_loss"])).all()
+
+
+def test_lbfgs_optimizer_mode(rng):
+    """cfg.optimizer='lbfgs': the reference's torch.optim.LBFGS closure
+    stages (motion_optimizer.py:233-285) as optax.lbfgs scans — finite,
+    and stage 2 still descends."""
+    smpl = synthetic_smpl_model(num_vertices=200, seed=0)
+    hcfg = HumorConfig()
+    hp = init_humor(jax.random.PRNGKey(0), hcfg)
+    T = 5
+    true_pose = (0.2 * rng.randn(T, 72)).astype(np.float32)
+    cam_t = jnp.asarray([0.0, 0.0, 8.0])
+    center = jnp.asarray([112.0, 112.0])
+    from nemo_tpu.geometry import batch_rodrigues, perspective_projection
+    from nemo_tpu.body.smpl import smpl_forward
+    rot = batch_rodrigues(jnp.asarray(true_pose.reshape(T, 24, 3)))
+    _, j = smpl_forward(smpl, jnp.zeros((1, 10)), rot[:, 1:], rot[:, :1],
+                        want_vertices=False)
+    proj = perspective_projection(
+        j[:, :25], jnp.broadcast_to(jnp.eye(3), (T, 3, 3)),
+        jnp.broadcast_to(cam_t, (T, 3)), 5000.0,
+        jnp.broadcast_to(center, (T, 2)))
+    kp2d = jnp.concatenate([proj, jnp.ones((T, 25, 1))], -1)
+    init_pose = jnp.asarray(true_pose + 0.15 * rng.randn(T, 72)
+                            .astype(np.float32))
+    cfg = MotionOptConfig(steps_stage1=3, steps_stage2=6, steps_stage3=3,
+                          optimizer="lbfgs")
+    out = humor_motion_fit(smpl, hp, hcfg, kp2d, init_pose, cam_t, center,
+                           cfg=cfg)
+    assert np.isfinite(np.asarray(out["pose"])).all()
+    assert np.isfinite(np.asarray(out["stage2_loss"])).all()
+    assert float(out["stage2_loss"][-1]) < float(out["stage2_loss"][0])
