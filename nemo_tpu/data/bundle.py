@@ -8,15 +8,22 @@ once.
 
 Bundle contents (V = views, F = common frame count):
   labels_<type>: (V, F, 25, 3) 2D keypoints + confidence per label type
-                 ('op', 'gt', 'vibe', ...) — collate_gt_2d's sources
-                 (neural_motion_model.py:2908-2947).
+                 ('op', 'gt', 'vibe', 'vs', 'pare') — collate_gt_2d's
+                 sources (neural_motion_model.py:2908-2947); 'vibe' is the
+                 tracklet's joints2d_img_coord feeding eval_2d's
+                 recon_error_2d-vibe/pck-vibe columns.
   hmr_theta:     (V, F, 69) per-frame initializer body pose (VIBE/HMR),
                  mask in hmr_mask: (V, F, 1) — (:3440-3453).
+  spin_theta:    (V, F, 69) SPIN theta for V0's warmup (optional).
   gt3d_pose:     (V, F, 72) mocap GT full pose (optional).
   gt3d_trans:    (V, F, 3) mocap GT translation (optional).
   gt_cameras:    (V, 9) ground-truth camera parameters (optional).
+  baseline_poses: {vs/pare/glamr: (V, F, 70)} 3D baseline body poses+mask.
+  glamr_orient/glamr_trans: (V, F, 3) GLAMR world baseline (optional).
   img_hw:        (2,) image (D0, D1) = (height, width).
-  framerate_multiplier: (V,) per-view timing multiplier.
+  framerate_multiplier: (V,) raw-frames-per-resampled-frame, len/F
+                 (multi_view_sequence.py:300).
+  frame_paths:   (V, F) source image paths for overlays (optional).
 """
 
 from __future__ import annotations

@@ -175,14 +175,14 @@ def load_baseline_arrays(path: str, max_frames: int, kind: str,
         pad = np.zeros((max_frames - out.shape[0], 70), np.float32)
         out = np.concatenate([out, pad], axis=0)
 
-    def _pad(a, width):
+    def _pad(a):
         if a is None or a.shape[0] >= max_frames:
             return None if a is None else a[:max_frames]
         return np.concatenate(
             [a, np.zeros((max_frames - a.shape[0],) + a.shape[1:],
                          np.float32)], axis=0)
-    return {"theta": out, "joints2d": _pad(joints2d, 25),
-            "orient": _pad(orient, 3), "trans": _pad(trans, 3)}
+    return {"theta": out, "joints2d": _pad(joints2d),
+            "orient": _pad(orient), "trans": _pad(trans)}
 
 
 def load_baseline_pickle(path: str, max_frames: int, kind: str,
