@@ -23,14 +23,14 @@ from ..fit.optimizer import (make_optimizer, plateau_init_all,
                              plateau_update_all)
 
 
-def fit_many_seeds(cfg: NemoConfig, assets: NemoAssets, num_seeds: int,
-                   steps: Optional[int] = None, base_seed: int = 0,
-                   mesh=None) -> Dict[str, np.ndarray]:
-    """Run `num_seeds` independent main-stage fits in one vmapped scan.
+def make_fanout(cfg: NemoConfig, assets: NemoAssets, num_seeds: int,
+                steps: Optional[int] = None, base_seed: int = 0,
+                mesh=None):
+    """Build the compiled seed fan-out: returns (fan, inputs) where
+    fan(*inputs) -> (stacked final params, (S, steps) loss curves).
 
-    Returns stacked final params + per-seed loss curves. With `mesh`, the
-    seed axis shards across devices (the SLURM-array replacement).
-    """
+    Exposed separately from fit_many_seeds so repeated sweeps reuse ONE
+    jitted program (a fresh closure per call would re-trace every time)."""
     steps = cfg.n_steps if steps is None else steps
     opt = make_optimizer(cfg)
 
@@ -62,12 +62,26 @@ def fit_many_seeds(cfg: NemoConfig, assets: NemoAssets, num_seeds: int,
             body, (params, opt_state, plateau, key), None, length=steps)
         return params, losses
 
-    fan = jax.vmap(one_seed, in_axes=(0, 0, 0, 0))
+    fan = jax.jit(jax.vmap(one_seed, in_axes=(0, 0, 0, 0)))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         seed_sh = NamedSharding(mesh, P("dp"))
         params0, opt_state0, plateau0, run_keys = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, seed_sh),
             (params0, opt_state0, plateau0, run_keys))
-    params, losses = jax.jit(fan)(params0, opt_state0, plateau0, run_keys)
+    return fan, (params0, opt_state0, plateau0, run_keys)
+
+
+def fit_many_seeds(cfg: NemoConfig, assets: NemoAssets, num_seeds: int,
+                   steps: Optional[int] = None, base_seed: int = 0,
+                   mesh=None) -> Dict[str, np.ndarray]:
+    """Run `num_seeds` independent main-stage fits in one vmapped scan.
+
+    Returns stacked final params + per-seed loss curves. With `mesh`, the
+    seed axis shards across devices (the SLURM-array replacement). For
+    repeated sweeps, build once with make_fanout and call the compiled
+    program directly.
+    """
+    fan, inputs = make_fanout(cfg, assets, num_seeds, steps, base_seed, mesh)
+    params, losses = fan(*inputs)
     return {"params": params, "losses": np.asarray(losses)}
