@@ -32,8 +32,10 @@ REFERENCE_STEPS_PER_SEC = 5.0
 # bf16 MXU peak by device kind (the bench default runs skinning tables and
 # network matmuls in bf16-class passes, so bf16 peak is the MFU denominator;
 # the f32 fraction of the step makes the reported MFU slightly conservative).
+# v5e is 197 TF/s bf16 (394 is its INT8 number — round-3 fix; consistent
+# with the round-2 roofline's ~49 TF/s 6-pass-f32 rate = 197/4).
 _BF16_PEAK_FLOPS = {
-    "TPU v5e": 394e12, "TPU v5 lite": 394e12, "TPU v5litepod": 394e12,
+    "TPU v5e": 197e12, "TPU v5 lite": 197e12, "TPU v5litepod": 197e12,
     "TPU v5p": 459e12, "TPU v5": 459e12,
     "TPU v4": 275e12, "TPU v6e": 918e12, "TPU v6 lite": 918e12,
 }

@@ -58,17 +58,25 @@ def init_fcnn(key, input_dim: int, h_dim: int, output_dim: int) -> Params:
 
 def net_precision():
     """Matmul precision for the network MLPs (NEMO_TPU_NET_PRECISION:
-    highest|high|default, default 'highest' = the package-global pin).
+    highest|high|default|bf16, default 'highest' = the package-global pin).
     'high' runs the TPU MXU in 3-pass bf16 (~1e-6 rel error) at ~2x the
-    6-pass 'highest' rate; the geometry/body math stays HIGHEST regardless
-    (house convention — mm-level eval parity lives there, not here)."""
+    6-pass 'highest' rate; 'bf16' casts both operands to bf16 and runs a
+    single MXU pass with f32 accumulation (~4e-3 rel error, fastest); the
+    geometry/body math stays HIGHEST regardless (house convention —
+    mm-level eval parity lives there, not here)."""
     import os
     name = os.environ.get("NEMO_TPU_NET_PRECISION", "highest").upper()
+    if name == "BF16":
+        return "BF16"
     return getattr(jax.lax.Precision, name)
 
 
 def _dot(x, w):
-    return jnp.dot(x, w, precision=net_precision())
+    prec = net_precision()
+    if prec == "BF16":
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, precision=prec)
 
 
 def apply_fcnn(p: Params, x: jnp.ndarray) -> jnp.ndarray:

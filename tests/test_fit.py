@@ -449,6 +449,64 @@ def test_skin_bf16_quality(monkeypatch):
 
 
 @pytest.mark.slow
+def test_net_bf16_quality(monkeypatch):
+    """Quality gate for NEMO_TPU_NET_PRECISION=bf16 (pure single-pass bf16
+    network matmuls with f32 accumulation, the fastest of the net-precision
+    ladder; see docs/precision_knobs.md).
+
+    Same trajectory-based + multi-seed shape as test_skin_bf16_quality, but
+    with CATASTROPHE-LEVEL bounds: this knob measurably FAILS the house 5%
+    trajectory gate (seed-0 median per-step rel delta 5.9% at 150 CPU
+    steps — bf16 activations perturb every network output, so the shared-
+    PRNG optimization paths genuinely diverge, unlike the skinning-table
+    knob whose error is confined to the v2v prior term). It is therefore
+    documented as opt-in / NOT recommended (docs/precision_knobs.md), and
+    this gate only guards against outright breakage of the bf16 _dot path:
+    trajectory median < 15% per seed, multi-seed final kp ratio median
+    <= 1.15 / max <= 1.30. bf16 touches ONLY the FCNN/MotionNet/RotNet
+    matmuls (networks.py:_dot) — geometry/body math stays HIGHEST per
+    house convention."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.priors import init_vposer
+
+    ratios = []
+    for seed in (0, 1):
+        finals, curves = {}, {}
+        for name, prec in [("f32", "highest"), ("bf16", "bf16")]:
+            monkeypatch.setenv("NEMO_TPU_NET_PRECISION", prec)
+            model = synthetic_smpl_model(num_vertices=640, seed=1)
+            bundle, _ = synthetic_problem(model, num_views=3, num_frames=24,
+                                          warp_strength=0.4, seed=3)
+            cfg = NemoConfig(
+                model_version=2, h_dim=64, instance_code_size=4,
+                phase_rbf_dim=16, rbf_kernel="linear",
+                monotonic_network_n_nodes=10, phase_init="linear",
+                batch_size=64, lr_phase=1e-3, lr_factor=1.0,
+                weight_vp_loss=1.0, weight_vp_z_loss=0.01,
+                weight_gmm_loss=0.0, warmup_step=30, opt_cam_step=50,
+                n_steps=150, label_type="gt",
+            )
+            assets = build_assets(bundle, model, cfg,
+                                  vposer=init_vposer(jax.random.PRNGKey(7)))
+            fitter = NemoFitter(cfg, assets, seed=seed)
+            fitter.warmup()
+            fitter.opt_cam()
+            metrics = fitter.fit(chunk=150)
+            assert np.isfinite(metrics["total_loss"]).all(), (name, seed)
+            curves[name] = np.asarray(metrics["total_loss"], np.float64)
+            finals[name] = fitter.eval_loss()
+
+        rel = np.abs(curves["bf16"] - curves["f32"]) / np.abs(curves["f32"])
+        assert np.median(rel) < 0.15, (
+            f"seed {seed}: net-bf16 trajectory diverges beyond the "
+            f"documented ~6% band, median rel delta {np.median(rel):.3f}")
+        ratios.append(finals["bf16"]["kp_loss"] / finals["f32"]["kp_loss"])
+
+    assert np.median(ratios) <= 1.15, ratios
+    assert max(ratios) <= 1.30, ratios
+
+
+@pytest.mark.slow
 def test_humor_dynamics_loss_in_fit(small_model, problem):
     """weight_humor_loss wires the HuMoR transition-KL into fit_loss:
     finite, differentiable, and reducible by optimizing the motion params
