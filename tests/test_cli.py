@@ -351,3 +351,38 @@ class TestResumeProbe:
         assert m, text
         np.testing.assert_allclose(float(m.group(1)),
                                    final["kp_loss"], rtol=1e-4)
+
+
+class TestVideoToolCLI:
+    """The frames/openpose/assemble surface (scripts/video_to_frames.py,
+    nemo/run_openpose.py, custom_video/demo.sh pipeline)."""
+
+    def test_print_only_commands_per_view(self, tmp_path, capsys):
+        from nemo_tpu.cli.video_tool import main as vt_main
+        cfg = tmp_path / "nemo-config.yml"
+        cfg.write_text(yaml.safe_dump(
+            {"exp_dir": str(tmp_path / "exps"),
+             "videos": {"names": ["a.mp4", "b.mp4"],
+                        "root_dir": str(tmp_path / "videos")}}))
+        assert vt_main(["frames", "--nemo_cfg_path", str(cfg),
+                        "--print_only"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2
+        # ffmpeg dump into <exp_dir>/<stem>.frames (video_to_frames.py:11-15,
+        # video_to_frames_custom.py:37-39)
+        assert out[0].startswith("ffmpeg") and "a.mp4" in out[0]
+        assert os.path.join("exps", "a.frames") in out[0]
+
+        assert vt_main(["openpose", "--nemo_cfg_path", str(cfg),
+                        "--print_only"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2
+        # BODY_25 JSON invocation (custom_video/demo.sh:55)
+        assert "docker" in out[0] and "--write_json" in out[0]
+        assert "--number_people_max 1" in out[0]
+
+        assert vt_main(["assemble", "--frame_dir", str(tmp_path / "fr"),
+                        "--out", str(tmp_path / "o.mp4"),
+                        "--print_only"]) == 0
+        out = capsys.readouterr().out.strip()
+        assert out.startswith("ffmpeg") and "o.mp4" in out
