@@ -317,6 +317,7 @@ def main(argv=None) -> int:
     preds = predict(fitter.state.params, cfg, assets, vi, fi)
     pts2d = project_to_views(fitter.state.params, cfg, assets, preds["j"], vi)
     pts2d = np.asarray(pts2d).reshape(V, F, 25, 2)
+    full_mesh_verts = None  # per-view full-mesh forwards, reused by renders
 
     if "gt" in bundle.labels:
         # column order follows the reference exactly: ours, op, vibe,
@@ -354,6 +355,7 @@ def main(argv=None) -> int:
                              want_vertices=True)
                 pred_j.append(np.asarray(pv["j"]))
                 pred_v.append(np.asarray(pv["v"]))
+            full_mesh_verts = pred_v  # reused by the mesh-rollout renders
             glamr_kwargs = {}
             if (bundle.glamr_orient is not None
                     and bundle.glamr_trans is not None
@@ -389,20 +391,25 @@ def main(argv=None) -> int:
             print(f"[fit] overlay video: {out_vid}")
         # SMPL-mesh rollout through the learned cameras — the reference's
         # render_video('end') (entry :331, render_utils.py:90-145)
-        from ..geometry.camera import camera_from_params
+        from ..geometry.camera import camera_from_params_np
         if assets.smpl.faces is None:
             print("[fit] no mesh faces in the SMPL model; skipping "
                   "mesh rollout")
         else:
-            mesh_verts = []
-            for v in range(V):
-                pv = predict(fitter.state.params, cfg, assets,
-                             jnp.full((F,), v, jnp.int32), jnp.arange(F),
-                             want_vertices=True)
-                mesh_verts.append(np.asarray(pv["v"]))
-            cams = [camera_from_params(fitter.state.params["cameras"][v],
-                                       assets.img_d0, assets.img_d1,
-                                       cfg.focal_length)
+            if full_mesh_verts is not None:
+                # already computed for eval_3d_global — don't redo the V
+                # full-mesh forwards + device->host transfers
+                mesh_verts = full_mesh_verts
+            else:
+                mesh_verts = []
+                for v in range(V):
+                    pv = predict(fitter.state.params, cfg, assets,
+                                 jnp.full((F,), v, jnp.int32), jnp.arange(F),
+                                 want_vertices=True)
+                    mesh_verts.append(np.asarray(pv["v"]))
+            cam9_np = np.asarray(fitter.state.params["cameras"])
+            cams = [camera_from_params_np(cam9_np[v], assets.img_d0,
+                                          assets.img_d1, cfg.focal_length)
                     for v in range(V)]
             if args.render_video:
                 every = max(1, F // max(args.render_video, 1)) \

@@ -86,7 +86,7 @@ def pack_penn(args, cfg) -> int:
         raise ValueError("seq_names YAML needs --penn_root (the reference's "
                          "PENN_ACTION_ROOT)")
 
-    seq_ids = []
+    seq_ids, vibe_raws = [], []
     for sid in cfg["seq_names"]:
         raw = joblib.load(osp.join(root, "vibe_results", sid,
                                    "vibe_output.pkl"))
@@ -94,6 +94,7 @@ def pack_penn(args, cfg) -> int:
             print(f"[preprocess] VIBE failed for {sid}, skipping...")
             continue
         seq_ids.append(sid)
+        vibe_raws.append(raw)
 
     lens = []
     for sid in seq_ids:
@@ -111,9 +112,7 @@ def pack_penn(args, cfg) -> int:
         gt_views.append(load_penn_sequence(
             osp.join(root, "labels", f"{sid}.mat")))
         op_views.append(load_openpose_dir(osp.join(root, "openpose", sid)))
-        person = load_vibe_pickle(
-            osp.join(root, "vibe_results", sid, "vibe_output.pkl"),
-            lens[v], gt_2d=gt_views[v])
+        person = load_vibe_pickle(vibe_raws[v], lens[v], gt_2d=gt_views[v])
         if person is not None:
             theta_views.append(vibe_to_theta(person))
             j2d_views.append(person_joints2d(person))

@@ -38,9 +38,11 @@ def _video_path(cfg: dict, name: str, data_dir: str) -> str:
 
 
 def _frames_dir(cfg: dict, name: str, data_dir: str, suffix: str) -> str:
+    """``<exp_dir>/<name><suffix>`` with the FULL video name kept —
+    cli/preprocess.py probes ``<name>.frames`` / ``<name>.op`` /
+    ``<name>_openpose`` with the extension included."""
     exp = cfg.get("exp_dir") or osp.join(data_dir, "exps")
-    stem = name[:-4] if name.endswith(".mp4") else name
-    return osp.join(exp, stem + suffix)
+    return osp.join(exp, name + suffix)
 
 
 def cmd_frames(args: argparse.Namespace) -> int:
@@ -60,7 +62,7 @@ def cmd_openpose(args: argparse.Namespace) -> int:
     rc = 0
     for name in _view_names(cfg):
         frames = _frames_dir(cfg, name, args.data_dir, args.suffix)
-        out_json = _frames_dir(cfg, name, args.data_dir, "_openpose")
+        out_json = _frames_dir(cfg, name, args.data_dir, ".op")
         cmd = openpose_command(frames, out_json, runtime=args.runtime)
         print(" ".join(cmd))
         if not args.print_only:

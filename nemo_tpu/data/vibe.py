@@ -60,16 +60,18 @@ def select_person_near_gt(people: Dict, gt_2d: np.ndarray
     return best
 
 
-def load_vibe_pickle(path: str, max_frames: int,
+def load_vibe_pickle(path, max_frames: int,
                      gt_2d: Optional[np.ndarray] = None
                      ) -> Optional[Dict[str, np.ndarray]]:
     """Load vibe_output.pkl, densify all tracklets and select one person.
 
     Uses joblib-compatible loading (the reference dumps with joblib).
+    `path` may also be an already-loaded vibe dict (callers that probe the
+    pickle for emptiness first can pass it through without re-reading).
     If gt_2d is None, the longest tracklet wins.
     """
     import joblib
-    raw = joblib.load(path)
+    raw = path if isinstance(path, dict) else joblib.load(path)
     people = {pid: densify_person(p, max_frames) for pid, p in raw.items()}
     if not people:
         return None

@@ -76,7 +76,7 @@ def eval_frame_indices(F: int, num_frames: int = -1) -> np.ndarray:
     """The reference's eval frame sampling: ncol = min(F, num_frames) when
     num_frames > 0 else F; frame = round(cidx / ncol * F)
     (eval loops :1139, :2258)."""
-    ncol = F if num_frames < 0 else min(F, num_frames)
+    ncol = F if num_frames <= 0 else min(F, num_frames)
     return np.minimum(np.round(np.arange(ncol) / ncol * F).astype(np.int64),
                       F - 1)
 
@@ -87,7 +87,7 @@ def eval_view_indices(V: int, num_views: int = -1,
     (:1063-1075)."""
     if len(view_idxs):
         return np.asarray(view_idxs, np.int64)
-    return np.arange(V if num_views < 0 else min(V, num_views))
+    return np.arange(V if num_views <= 0 else min(V, num_views))
 
 
 def eval_3d(model: SMPLModel,
@@ -310,7 +310,9 @@ def eval_3d_global(model: SMPLModel,
                                     gt_trans)
 
     stats: Dict[str, list] = {"mpjpe-ours": [], "mpvpe-ours": []}
-    aligned: Dict[str, np.ndarray] = {"gt-t": np.asarray(gt_trans)}
+    # gt-t restricted to the SAME selected views as pred-t/glamr-t so the
+    # aligned dict's rows pair up under view subsetting
+    aligned: Dict[str, np.ndarray] = {"gt-t": np.asarray(gt_trans)[views]}
     comparisons = [("ours", sub(pred_v), sub(pred_j)[..., :15, :],
                     sub(pred_trans))]
     if glamr_pose is not None and glamr_trans is not None:

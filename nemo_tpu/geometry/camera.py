@@ -159,3 +159,20 @@ def estimate_translation(S: jnp.ndarray, joints_2d: jnp.ndarray,
     AtA = jnp.einsum('...ni,...nj->...ij', Aw, Aw)
     Atb = jnp.einsum('...ni,...n->...i', Aw, bw)
     return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+
+def camera_from_params_np(params9, img_d0: float, img_d1: float,
+                          focal_length: float = FOCAL_LENGTH) -> Camera:
+    """Numpy twin of camera_from_params for HOST-SIDE rendering/eval prep
+    (no eager device dispatches — see rot6d_to_rotmat_np). Same 9-parameter
+    encoding and principal-point convention."""
+    import numpy as np
+    from .rotations import rot6d_to_rotmat_np
+    params9 = np.asarray(params9, np.float32)
+    batch_shape = params9.shape[:-1]
+    center = np.broadcast_to(
+        np.array([img_d0 // 2, img_d1 // 2], np.float32),
+        batch_shape + (2,))
+    f = np.broadcast_to(np.float32(focal_length), batch_shape)
+    return Camera(rotation=rot6d_to_rotmat_np(params9[..., 3:]),
+                  translation=params9[..., :3], focal_length=f, center=center)

@@ -211,3 +211,20 @@ def euler_to_rotmat(r: jnp.ndarray) -> jnp.ndarray:
 def rot6d_to_aa(x: jnp.ndarray) -> jnp.ndarray:
     """Convenience: 6D -> axis-angle."""
     return rotmat_to_aa(rot6d_to_rotmat(x))
+
+
+def rot6d_to_rotmat_np(x):
+    """Numpy twin of rot6d_to_rotmat for HOST-SIDE prep code.
+
+    Tiny eager jnp dispatches in data-prep loops each pay a device
+    round-trip on the TPU tunnel; callers outside jit should use this.
+    Same semantics: (..., 6) viewed as (..., 3, 2) columns, Gram-Schmidt,
+    output columns [b1, b2, b1 x b2] (hmr/geometry.py:47-61).
+    """
+    import numpy as np
+    x = np.asarray(x, np.float32).reshape(np.shape(x)[:-1] + (3, 2))
+    a1, a2 = x[..., 0], x[..., 1]
+    b1 = a1 / np.maximum(np.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    b2 = a2 - np.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / np.maximum(np.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    return np.stack([b1, b2, np.cross(b1, b2)], axis=-1)

@@ -81,12 +81,11 @@ def render_rollout_figure(path: str, verts: np.ndarray, faces: np.ndarray,
     verts: (V, F, N, 3) world vertices; cameras: per-view Camera.
     Returns the composed grid and writes it to path.
     """
+    from ..eval.metrics import eval_frame_indices
     V, F = verts.shape[:2]
     nrow = V if num_views < 0 else min(V, num_views)
-    ncol = min(F, num_frames) if num_frames > 0 else F
     hw = (int(bundle.img_d0), int(bundle.img_d1))
-    fidx = [int(np.round(c / ncol * F)) if c else 0 for c in range(ncol)]
-    fidx = [min(i, F - 1) for i in fidx]
+    fidx = eval_frame_indices(F, num_frames).tolist()
 
     rows = []
     for v in range(nrow):
@@ -194,18 +193,21 @@ def gt_cameras_for_render(gt_cameras9: np.ndarray, img_hw,
 
     Mirrors the reference's GT-rollout intrinsics quirk: camera_center is
     (IMG_D0, IMG_D1) — the FULL image dims, not the halved projection
-    convention (:1980-1983)."""
-    import jax.numpy as jnp
+    convention (:1980-1983).
+
+    Pure numpy on purpose: host-side prep must not issue tiny eager jax
+    dispatches (each pays a device round-trip on the TPU tunnel)."""
     from ..geometry.camera import Camera
-    from ..geometry.rotations import rot6d_to_rotmat
+    from ..geometry.rotations import rot6d_to_rotmat_np
 
     cams = []
-    for cam9 in np.asarray(gt_cameras9):
+    for cam9 in np.asarray(gt_cameras9, np.float32):
         cams.append(Camera(
-            rotation=rot6d_to_rotmat(jnp.asarray(cam9[3:])[None])[0],
-            translation=jnp.asarray(cam9[:3]),
-            focal_length=jnp.asarray(focal_length),
-            center=jnp.asarray([float(img_hw[0]), float(img_hw[1])])))
+            rotation=rot6d_to_rotmat_np(cam9[3:]),
+            translation=cam9[:3],
+            focal_length=np.float32(focal_length),
+            center=np.asarray([float(img_hw[0]), float(img_hw[1])],
+                              np.float32)))
     return cams
 
 

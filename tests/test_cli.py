@@ -368,10 +368,10 @@ class TestVideoToolCLI:
                         "--print_only"]) == 0
         out = capsys.readouterr().out.strip().splitlines()
         assert len(out) == 2
-        # ffmpeg dump into <exp_dir>/<stem>.frames (video_to_frames.py:11-15,
-        # video_to_frames_custom.py:37-39)
+        # ffmpeg dump into <exp_dir>/<name>.frames (video_to_frames.py:11-15)
+        # with the FULL name kept, matching cli/preprocess.py's dir probing
         assert out[0].startswith("ffmpeg") and "a.mp4" in out[0]
-        assert os.path.join("exps", "a.frames") in out[0]
+        assert os.path.join("exps", "a.mp4.frames") in out[0]
 
         assert vt_main(["openpose", "--nemo_cfg_path", str(cfg),
                         "--print_only"]) == 0
