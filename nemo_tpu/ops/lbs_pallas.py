@@ -182,10 +182,19 @@ def _fwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
-                gpf_ref, ga_ref, gvsh_ref, *, tb: int, tv: int):
+                gpf_ref, ga_ref, gvsh_ref, *, tb: int, tv: int,
+                vp_ref=None):
     """Grid (nB, nV) with V innermost, fully vectorized; accumulates over V
     tiles into g_pf (TB, 207) and g_A (12, TB, 24); g_vsh gets a per-(bi,vi)
-    block summed on the host."""
+    block summed on the host.
+
+    vp_ref: optional stored posed-vertex planes (TB, 3, TV) from the fused
+    v2v forward (table dtype). When given, the three K=207 pf@pd dots that
+    recompute vp — 34% of this kernel's MXU work — are skipped. Exactness:
+    vp is stored in the table dtype cdt, and vp only ever enters this kernel
+    through gm = (g * vp).astype(cdt); for sign cotangents g in {-1, 0, 1}
+    the cast commutes with the flip, so the stored-vp path is BIT-IDENTICAL
+    to the recompute path (asserted by test_vp_residual_bwd_bit_exact)."""
     vi = pl.program_id(1)
 
     pf = pf_ref[:, :]
@@ -200,9 +209,12 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
     cdt = w_ref.dtype  # bf16 tables -> bf16 MXU operands, f32 accumulate
     prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
-                  precision=prec)
-          + vsh[k] for k in range(3)]                   # (TB, TV) x3
+    if vp_ref is not None:
+        vp = [vp_ref[:, k, :].astype(jnp.float32) for k in range(3)]
+    else:
+        vp = [jnp.dot(pf, pd_ref[0, k], preferred_element_type=jnp.float32,
+                      precision=prec)
+              + vsh[k] for k in range(3)]               # (TB, TV) x3
     # the cotangent arrives in the fwd output dtype (bf16 when the io
     # knob is on) — upcast for the elementwise math, accumulate f32
     g = [g_ref[:, i, :].astype(jnp.float32) for i in range(3)]
@@ -238,8 +250,14 @@ def _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
         gvsh_ref[0, 0, k, :] = jnp.sum(gvp[k], axis=0)
 
 
+def _bwd_kernel_vp(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref, vp_ref,
+                   gpf_ref, ga_ref, gvsh_ref, *, tb: int, tv: int):
+    _bwd_kernel(pf_ref, a34_ref, vsh_ref, pd_ref, w_ref, g_ref,
+                gpf_ref, ga_ref, gvsh_ref, tb=tb, tv=tv, vp_ref=vp_ref)
+
+
 def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
-                tb: int = 0):
+                tb: int = 0, vp=None):
     tb = tb or min(_default_tb(), pf.shape[0])
     B = pf.shape[0]
     nv, _, _, tv = pd_tiles.shape
@@ -256,11 +274,7 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
     # g may arrive already lane-padded (skin_verts_t_padded cotangent)
     g_p = jnp.pad(g, ((0, pad_b), (0, 0), (0, Vp - g.shape[-1])))
 
-    kernel = functools.partial(_bwd_kernel, tb=tb, tv=tv)
-    gpf, ga, gvsh_tiles = pl.pallas_call(
-        kernel,
-        grid=(Bp // tb, nv),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, 24), lambda bi, vi: (0, bi, 0),
@@ -273,7 +287,21 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    operands = [pf_p, A_p, vsh_tiles, pd_tiles, w_tiles, g_p]
+    if vp is not None:
+        # stored posed-vertex planes (Bp, 3, Vp) in the table dtype —
+        # same block shape/index map as the cotangent
+        in_specs.append(pl.BlockSpec((tb, 3, tv), lambda bi, vi: (bi, 0, vi),
+                                     memory_space=pltpu.VMEM))
+        operands.append(vp)
+        kernel = functools.partial(_bwd_kernel_vp, tb=tb, tv=tv)
+    else:
+        kernel = functools.partial(_bwd_kernel, tb=tb, tv=tv)
+    gpf, ga, gvsh_tiles = pl.pallas_call(
+        kernel,
+        grid=(Bp // tb, nv),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tb, 207), lambda bi, vi: (bi, 0),
                          memory_space=pltpu.VMEM),
@@ -288,7 +316,7 @@ def _bwd_pallas(pf, A34, v_shaped_t, pd_tiles, w_tiles, V, g,
             jax.ShapeDtypeStruct((Bp // tb, nv, 3, tv), jnp.float32),
         ],
         **_compiler_params(tb, ("parallel", "arbitrary")),
-    )(pf_p, A_p, vsh_tiles, pd_tiles, w_tiles, g_p)
+    )(*operands)
 
     gvsh = gvsh_tiles.sum(axis=0).transpose(1, 0, 2).reshape(3, Vp)[:, :V]
     ga_b = ga.transpose(1, 2, 0)[:B]                    # (B, 24, 12)
@@ -475,10 +503,15 @@ skin_verts_t_padded.defvjp(_skin_fwd_padded, _skin_bwd_padded)
 # ---------------------------------------------------------------------------
 
 def _v2v_fwd_kernel(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref, pd_ref,
-                    w_ref, sign_ref, psum_ref, *, tb: int, tv: int):
+                    w_ref, sign_ref, psum_ref, *, tb: int, tv: int,
+                    vp_ref=None):
     """Per (vi, bi) tile: skin BOTH pose sets, emit sign(rec - orig) (bf16)
     and the partial sum of |rec - orig| — the meshes never touch HBM.
-    Math identical to two _fwd_kernel invocations + abs-reduce."""
+    Math identical to two _fwd_kernel invocations + abs-reduce.
+
+    vp_ref: optional extra output storing the ORIG-side posed-vertex planes
+    (TB, 3, TV) in the table dtype, consumed by the vp-residual backward
+    (_bwd_kernel's vp_ref) so it can skip recomputing them."""
     w = w_ref[0]
     vsh = vsh_ref[0]
     prec = (jax.lax.Precision.DEFAULT if w.dtype == jnp.bfloat16
@@ -498,10 +531,13 @@ def _v2v_fwd_kernel(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref, pd_ref,
             for k in range(3):
                 acc = acc + m_plane(i * 4 + k) * vp[k]
             outs.append(acc)
-        return outs
+        return outs, vp
 
-    o = side(pf_o_ref, a_o_ref)
-    r = side(pf_r_ref, a_r_ref)
+    o, vp_o = side(pf_o_ref, a_o_ref)
+    r, _ = side(pf_r_ref, a_r_ref)
+    if vp_ref is not None:
+        for k in range(3):
+            vp_ref[:, k, :] = vp_o[k].astype(vp_ref.dtype)
     total = jnp.zeros((), jnp.float32)
     for i in range(3):
         diff = r[i] - o[i]
@@ -514,8 +550,15 @@ def _v2v_fwd_kernel(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref, pd_ref,
     psum_ref[0, 0] = jnp.where((row == 0) & (col == 0), total, 0.0)
 
 
+def _v2v_fwd_kernel_vp(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref,
+                       pd_ref, w_ref, sign_ref, psum_ref, vp_ref, *,
+                       tb: int, tv: int):
+    _v2v_fwd_kernel(pf_o_ref, a_o_ref, pf_r_ref, a_r_ref, vsh_ref, pd_ref,
+                    w_ref, sign_ref, psum_ref, tb=tb, tv=tv, vp_ref=vp_ref)
+
+
 def _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t, pd_tiles, w_tiles, V,
-                    tb: int = 0):
+                    tb: int = 0, want_vp: bool = False):
     tb = tb or min(_default_tb(), pf_o.shape[0])
     B = pf_o.shape[0]
     nv, _, _, tv = pd_tiles.shape
@@ -530,8 +573,25 @@ def _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t, pd_tiles, w_tiles, V,
     vsh_p = jnp.pad(v_shaped_t, ((0, 0), (0, Vp - V)))
     vsh_tiles = vsh_p.reshape(3, nv, tv).transpose(1, 0, 2)
 
-    kernel = functools.partial(_v2v_fwd_kernel, tb=tb, tv=tv)
-    sign, psum = pl.pallas_call(
+    out_specs = [
+            pl.BlockSpec((tb, 3, tv), lambda vi, bi: (bi, 0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda vi, bi: (vi, bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+            jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nv, Bp // tb, 8, 128), jnp.float32),
+    ]
+    if want_vp:
+        out_specs.append(pl.BlockSpec((tb, 3, tv),
+                                      lambda vi, bi: (bi, 0, vi),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, 3, Vp), cdt))
+        kernel = functools.partial(_v2v_fwd_kernel_vp, tb=tb, tv=tv)
+    else:
+        kernel = functools.partial(_v2v_fwd_kernel, tb=tb, tv=tv)
+    outs = pl.pallas_call(
         kernel,
         grid=(nv, Bp // tb),
         in_specs=[
@@ -550,20 +610,16 @@ def _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t, pd_tiles, w_tiles, V,
             pl.BlockSpec((1, 24, tv), lambda vi, bi: (vi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tb, 3, tv), lambda vi, bi: (bi, 0, vi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda vi, bi: (vi, bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, 3, Vp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((nv, Bp // tb, 8, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         **_compiler_params(tb, ("parallel", "parallel")),
     )(prep_pf(pf_o), prep_a(A_o), prep_pf(pf_r), prep_a(A_r),
       vsh_tiles, pd_tiles, w_tiles)
-    return psum.sum(), sign[:B]
+    if want_vp:
+        sign, psum, vp = outs
+        return psum.sum(), sign[:B], vp      # vp stays lane/batch-padded
+    sign, psum = outs
+    return psum.sum(), sign[:B], None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -578,8 +634,8 @@ def skin_v2v_l1(V: int, pf_o: jnp.ndarray, A_o: jnp.ndarray,
     kernel with the stored sign tensor as the cotangent (the VJP is linear
     in g), scaled by -g_hat on its tiny outputs."""
     if _use_pallas():
-        total, _ = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
-                                   pd_tiles, w_tiles, V)
+        total, _, _ = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
+                                      pd_tiles, w_tiles, V)
         return total
     pd, w = _untile(pd_tiles, w_tiles, V)
     o = _skin_verts_t_xla(pf_o, A_o, v_shaped_t, pd, w)
@@ -587,10 +643,21 @@ def skin_v2v_l1(V: int, pf_o: jnp.ndarray, A_o: jnp.ndarray,
     return jnp.abs(r - o).sum()
 
 
+def _vp_residual_on() -> bool:
+    """NEMO_TPU_SKIN_VP_RES=1: the fused v2v forward stores the orig-side
+    posed-vertex planes (table dtype) so the backward skips recomputing
+    them (3 K=207 dots = 34% of its MXU work) at the cost of one
+    (B, 3, V) HBM round-trip. Bit-identical gradients either way (see
+    _bwd_kernel docstring)."""
+    import os
+    return os.environ.get("NEMO_TPU_SKIN_VP_RES", "0") == "1"
+
+
 def _v2v_fwd(V, pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, pf_r, A_r):
     if _use_pallas():
-        total, sign = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
-                                      pd_tiles, w_tiles, V)
+        total, sign, vp = _v2v_fwd_pallas(pf_o, A_o, pf_r, A_r, v_shaped_t,
+                                          pd_tiles, w_tiles, V,
+                                          want_vp=_vp_residual_on())
     else:
         pd, w = _untile(pd_tiles, w_tiles, V)
         o = _skin_verts_t_xla(pf_o, A_o, v_shaped_t, pd, w)
@@ -598,16 +665,17 @@ def _v2v_fwd(V, pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, pf_r, A_r):
         diff = r - o
         total = jnp.abs(diff).sum()
         sign = jnp.sign(diff)
-    return total, (pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign)
+        vp = None
+    return total, (pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign, vp)
 
 
 def _v2v_bwd(V, res, ghat):
-    pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign = res
+    pf_o, A_o, v_shaped_t, pd_tiles, w_tiles, sign, vp = res
     # d total / d orig = -sign(rec - orig); the skinning VJP is linear in
     # the cotangent, so run it on the raw sign and scale the small outputs
     if _use_pallas():
         gpf, ga, gvsh = _bwd_pallas(pf_o, A_o, v_shaped_t, pd_tiles,
-                                    w_tiles, V, sign)
+                                    w_tiles, V, sign, vp=vp)
     else:
         pd, w = _untile(pd_tiles, w_tiles, V)
         gpf, ga, gvsh = _bwd_xla(pf_o, A_o, v_shaped_t, pd, w,

@@ -284,8 +284,48 @@ class TestFusedV2V:
             return orig_call(*a, **k)
 
         with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
-            total, sign = lbs_pallas._v2v_fwd_pallas(
+            total, sign, _ = lbs_pallas._v2v_fwd_pallas(
                 pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8)
         np.testing.assert_allclose(float(total), want_total, rtol=1e-5)
         got_sign = np.asarray(sign[:, :, :V], np.float32)
         assert (got_sign == want_sign).mean() > 0.999  # fp ties only
+
+    @pytest.mark.parametrize("table_dtype", [jnp.float32, jnp.bfloat16])
+    def test_vp_residual_bwd_bit_exact(self, model, rng, table_dtype):
+        """NEMO_TPU_SKIN_VP_RES: the stored-vp backward is BIT-IDENTICAL to
+        the recompute backward for sign cotangents (vp is stored in the
+        table dtype, and the cast commutes with the +-1 flip), and the
+        vp-emitting forward leaves total/sign unchanged."""
+        rot, betas = make_inputs(model, 2, rng)
+        rot_r, _ = make_inputs(model, 2, np.random.RandomState(3))
+        pf_o, A_o, vsh_t = raw_op_inputs(model, rot, betas)
+        pf_r, A_r, _ = raw_op_inputs(model, rot_r, betas)
+        pd_tiles, w_tiles, V = lbs_pallas.tile_tables(
+            model.posedirs_t, model.lbs_weights_t, tv=128,
+            dtype=table_dtype)
+        pd_tiles, w_tiles = jnp.asarray(pd_tiles), jnp.asarray(w_tiles)
+
+        orig_call = lbs_pallas.pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            t0, s0, none = lbs_pallas._v2v_fwd_pallas(
+                pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8)
+            t1, s1, vp = lbs_pallas._v2v_fwd_pallas(
+                pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8,
+                want_vp=True)
+        assert none is None
+        assert vp.dtype == table_dtype
+        assert float(t0) == float(t1)
+        assert np.array_equal(np.asarray(s0), np.asarray(s1))
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            g_rec = lbs_pallas._bwd_pallas(pf_o, A_o, vsh_t, pd_tiles,
+                                           w_tiles, V, s0, tb=8)
+            g_vp = lbs_pallas._bwd_pallas(pf_o, A_o, vsh_t, pd_tiles,
+                                          w_tiles, V, s0, tb=8, vp=vp)
+        for a, b, name in zip(g_rec, g_vp, ("gpf", "gA34", "gvsh")):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name
