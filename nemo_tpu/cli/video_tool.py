@@ -34,7 +34,14 @@ def _view_names(cfg: dict) -> list:
 
 def _video_path(cfg: dict, name: str, data_dir: str) -> str:
     root = cfg["videos"].get("root_dir") or osp.join(data_dir, "videos")
-    return name if osp.isabs(name) else osp.join(root, name)
+    path = name if osp.isabs(name) else osp.join(root, name)
+    # reference configs list extensionless view names ("tennis_swing.0",
+    # custom_video/nemo-config.yml); the video file on disk is <name>.mp4
+    # (video_to_frames_custom.py:37) while frame/openpose dirs keep the
+    # bare name (<name>.frames)
+    if not path.lower().endswith((".mp4", ".avi", ".mov", ".mkv")):
+        path += ".mp4"
+    return path
 
 
 def _frames_dir(cfg: dict, name: str, data_dir: str, suffix: str) -> str:

@@ -161,6 +161,34 @@ def estimate_translation(S: jnp.ndarray, joints_2d: jnp.ndarray,
     return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
 
 
+def camera_from_weak_persp(cam4, img_h: float, img_w: float,
+                           focal_length: float = FOCAL_LENGTH) -> Camera:
+    """VIBE orig_cam (sx, sy, tx, ty) -> an equivalent perspective Camera.
+
+    VIBE's weak-perspective image mapping is x_px = (sx*(X+tx)+1) * W/2
+    (VIBE/lib/utils/renderer.py WeakPerspectiveCamera), with orig_cam
+    constructed pixel-isotropic (sx*W == sy*H). An identity-rotation
+    perspective camera with translation (tx, ty, 2f/(W*sx)) and principal
+    point (W/2, H/2) reproduces it exactly — the same trick as SPIN's
+    weak->perspective conversion (models/hmr.py:spin_projection,
+    VIBE/lib/models/spin.py:309-322). Numpy on purpose (host-side render
+    prep). Feeds render_mesh_overlay, whose center[0] is the WIDTH axis."""
+    import numpy as np
+    cam4 = np.asarray(cam4, np.float32)
+    sx, tx, ty = cam4[..., 0], cam4[..., 2], cam4[..., 3]
+    tz = 2.0 * np.float32(focal_length) / (np.float32(img_w) * sx + 1e-9)
+    trans = np.stack([tx, ty, tz], axis=-1)
+    batch_shape = cam4.shape[:-1]
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32),
+                          batch_shape + (3, 3))
+    center = np.broadcast_to(
+        np.array([img_w / 2.0, img_h / 2.0], np.float32),
+        batch_shape + (2,))
+    f = np.broadcast_to(np.float32(focal_length), batch_shape)
+    return Camera(rotation=eye, translation=trans, focal_length=f,
+                  center=center)
+
+
 def camera_from_params_np(params9, img_d0: float, img_d1: float,
                           focal_length: float = FOCAL_LENGTH) -> Camera:
     """Numpy twin of camera_from_params for HOST-SIDE rendering/eval prep

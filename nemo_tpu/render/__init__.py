@@ -7,7 +7,8 @@ from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
                    vertex_normals)
-from .figures import (gt_cameras_for_render, render_comparison_figure,
+from .figures import (gt_cameras_for_render, render_baseline_rollout,
+                      render_comparison_figure,
                       render_glamr_rollout, render_global_overlay,
                       render_gt_rollout, render_pred_in_gt_rollout,
                       render_rollout_figure)
@@ -21,6 +22,7 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "render_pretty", "splat_render", "upsample_faces",
            "vertex_normals",
            "render_mesh_video", "render_overlay_video",
+           "render_baseline_rollout",
            "render_comparison_figure", "render_global_overlay",
            "render_rollout_figure", "render_gt_rollout",
            "render_pred_in_gt_rollout", "render_glamr_rollout",

@@ -100,6 +100,55 @@ def render_rollout_figure(path: str, verts: np.ndarray, faces: np.ndarray,
     return grid
 
 
+def render_baseline_rollout(path: str, model, persons, bundle,
+                            num_frames: int = 8, num_views: int = -1,
+                            max_size: int = MAX_SIZE) -> np.ndarray:
+    """Baseline-initializer rollout grid — the reference's
+    render_vibe_rollout / render_pare_rollout (neural_motion_model.py:1415,
+    :1340): per view, the baseline's OWN SMPL prediction rendered over the
+    frames through its weak-perspective camera, views stacked as rows.
+
+    persons: one dict per view with 'pose' (F, 72) axis-angle (orient
+    first), 'betas' (10,) or (F, 10) (averaged — the baselines predict
+    near-constant shape), and 'orig_cam' (F, 4) VIBE image-space weak-persp
+    cameras — exactly the load_vibe_pickle / densify_person layout, so a
+    vibe_output.pkl drives this directly. Frames sampled like the
+    reference's eval loops; masked-out frames render the zero pose.
+    """
+    import jax.numpy as jnp
+
+    from ..body.smpl import smpl_forward
+    from ..eval.metrics import eval_frame_indices
+    from ..geometry.camera import camera_from_weak_persp
+    from ..geometry.rotations import batch_rodrigues
+
+    nrow = len(persons) if num_views < 0 else min(len(persons), num_views)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    rows = []
+    for v in range(nrow):
+        p = persons[v]
+        F = int(np.asarray(p["pose"]).shape[0])
+        fidx = eval_frame_indices(F, num_frames)
+        pose = np.asarray(p["pose"], np.float32)[fidx]        # (n, 72)
+        rot = batch_rodrigues(jnp.asarray(pose).reshape(-1, 3))
+        rot = rot.reshape(len(fidx), 24, 3, 3)
+        betas = np.asarray(p["betas"], np.float32).reshape(-1, 10)
+        verts, _ = smpl_forward(model, jnp.asarray(betas.mean(0)[None]),
+                                rot[:, 1:], rot[:, :1], want_vertices=True)
+        verts = np.asarray(verts)
+        cams = camera_from_weak_persp(
+            np.asarray(p["orig_cam"], np.float32)[fidx], *hw)
+        row = []
+        for i, f in enumerate(fidx):
+            image = _bundle_frame(bundle, v, int(f))
+            cam_i = type(cams)(*(np.asarray(a)[i] for a in cams))
+            row.append(_mesh_panel(verts[i], model.faces, cam_i, image, hw))
+        rows.append(row)
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
 def render_comparison_figure(path: str, view_idx: int, verts: np.ndarray,
                              faces: np.ndarray, camera, bundle,
                              init_verts: Optional[np.ndarray] = None,

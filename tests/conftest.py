@@ -39,9 +39,11 @@ def rng():
 
 
 def pytest_sessionfinish(session, exitstatus):
-    """Flush the summary before interpreter teardown: the persistent
-    compile-cache flush at exit can otherwise swallow the final buffered
-    lines when stdout is a nohup/pipe (observed in round-2 review)."""
+    """Flush buffered output before interpreter teardown when stdout is a
+    nohup/pipe. (The round-2 "summary line never flushed" symptom turned
+    out to be -q in addopts stacking with the documented `-q` invocation
+    into -qq, which suppresses the final summary line — fixed in
+    pyproject.toml; this hook stays as a cheap flush guard.)"""
     import sys
     print(f"\n[conftest] pytest session finished: exitstatus={exitstatus}",
           flush=True)

@@ -386,3 +386,20 @@ class TestVideoToolCLI:
                         "--print_only"]) == 0
         out = capsys.readouterr().out.strip()
         assert out.startswith("ffmpeg") and "o.mp4" in out
+
+    def test_reference_extensionless_names(self, tmp_path, capsys):
+        """Reference configs list extensionless views ("tennis_swing.0",
+        custom_video/nemo-config.yml): the video path gains .mp4
+        (video_to_frames_custom.py:37) but frames dirs keep the bare name
+        (<name>.frames)."""
+        from nemo_tpu.cli.video_tool import main as vt_main
+        cfg = tmp_path / "nemo-config.yml"
+        cfg.write_text(yaml.safe_dump(
+            {"exp_dir": str(tmp_path / "exps"),
+             "videos": {"names": ["tennis_swing.0"],
+                        "root_dir": str(tmp_path / "videos")}}))
+        assert vt_main(["frames", "--nemo_cfg_path", str(cfg),
+                        "--print_only"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()[0]
+        assert os.path.join("videos", "tennis_swing.0.mp4") in out
+        assert os.path.join("exps", "tennis_swing.0.frames") in out

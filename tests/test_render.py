@@ -456,6 +456,47 @@ class TestComposedFigures:
         assert grid.shape == (2 * 48, 3 * 48, 3)
         assert (grid < 0.99).any()          # mesh pixels present
 
+    def test_weak_persp_camera_matches_formula(self):
+        """camera_from_weak_persp: for z=0 points the perspective camera
+        reproduces VIBE's weak-persp pixel mapping x = (sx*(X+tx)+1)*W/2
+        exactly (the z term is the perspective correction weak persp
+        ignores)."""
+        from nemo_tpu.geometry.camera import camera_from_weak_persp
+        H, W, f = 48.0, 64.0, 500.0
+        sy, tx, ty = 1.2, 0.3, -0.1
+        sx = sy * H / W                       # VIBE's pixel-isotropic cams
+        cam = camera_from_weak_persp(
+            np.array([sx, sy, tx, ty], np.float32), H, W, focal_length=f)
+        pts = np.array([[0.1, -0.2, 0.0], [0.0, 0.0, 0.0]], np.float32)
+        pc = pts + np.asarray(cam.translation)
+        u = f * pc[:, 0] / pc[:, 2] + np.asarray(cam.center)[0]
+        v = f * pc[:, 1] / pc[:, 2] + np.asarray(cam.center)[1]
+        np.testing.assert_allclose(
+            u, (sx * (pts[:, 0] + tx) + 1) * W / 2, rtol=1e-5)
+        np.testing.assert_allclose(
+            v, (sy * (pts[:, 1] + ty) + 1) * H / 2, rtol=1e-5)
+
+    def test_baseline_rollout_grid(self, tmp_path, rng):
+        """render_baseline_rollout (render_vibe_rollout :1415): the
+        baseline's own SMPL through its weak-persp cam, (views x frames)
+        grid, straight from load_vibe_pickle-layout person dicts."""
+        import os
+        from nemo_tpu.render import render_baseline_rollout
+        model, _, _, bundle = self._setup(rng)
+        F = 4
+        persons = [{"pose": np.zeros((F, 72), np.float32),
+                    "betas": np.zeros(10, np.float32),
+                    "orig_cam": np.tile(
+                        np.array([1.0, 1.0, 0.0, 0.0], np.float32),
+                        (F, 1))}
+                   for _ in range(2)]
+        p = str(tmp_path / "vibe_rollout.png")
+        grid = render_baseline_rollout(p, model, persons, bundle,
+                                       num_frames=2)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 2 * 48, 3)
+        assert (grid < 0.99).any()          # mesh pixels present
+
     def test_rollout_figure_resize_cap(self, tmp_path, rng):
         from nemo_tpu.render import render_rollout_figure
         model, verts, cams, bundle = self._setup(rng, V=1, F=2)
