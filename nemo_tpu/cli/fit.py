@@ -343,6 +343,16 @@ def main(argv=None) -> int:
                               baselines, dynamic_only=True,
                               framerate_multiplier=bundle.framerate_multiplier)
         write_csv(stats3d_dyn, osp.join(out_dir, "eval_3d_dynamic.csv"))
+        if args.render_video:
+            # per-view GT joint-speed diagnostics (plot_3d_dynamic :712-782)
+            from ..eval.metrics import smpl_grid_forward
+            from ..render import render_dynamic_velocity_plots
+            _, j49 = smpl_grid_forward(
+                assets.smpl, bundle.gt3d_pose[..., 3:].reshape(V * F, 69))
+            render_dynamic_velocity_plots(
+                osp.join(out_dir, "dynamic"),
+                j49.reshape(V, F, 49, 3)[..., :15, :],
+                bundle.framerate_multiplier)
         if bundle.gt3d_trans is not None:
             # eval_3d_global: get_preds-style world-frame pred (learned
             # betas, learned orient, + trans) aligned to GT by an
@@ -432,6 +442,15 @@ def main(argv=None) -> int:
                 osp.join(out_dir, "comparison_view0.png"), 0,
                 mesh_verts[0], assets.smpl.faces, cams[0], bundle,
                 num_frames=min(6, F))
+            # the VIBE initializer's own rollout (render_vibe_rollout
+            # :1415-1462), when the packer kept its orient/betas/orig_cam
+            from ..render import (baseline_persons_from_bundle,
+                                  render_baseline_rollout)
+            persons = baseline_persons_from_bundle(bundle)
+            if persons is not None:
+                render_baseline_rollout(
+                    osp.join(out_dir, "vibe_rollout.png"), assets.smpl,
+                    persons, bundle, num_frames=min(8, F))
 
     metrics_log.close()
     print(f"[fit] outputs in {out_dir}")

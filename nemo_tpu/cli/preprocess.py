@@ -28,6 +28,28 @@ import sys
 import numpy as np
 
 
+def _vibe_render_kwargs(render_views, F: int, start_phase: float) -> dict:
+    """Bundle kwargs for the VIBE baseline-render slots.
+
+    render_views: per-view vibe_render_arrays() dicts (None when a view has
+    no VIBE person or no orig_cam). All-or-nothing like the 'vibe' label:
+    the rollout figure needs every row.
+    """
+    from ..data import resample_to_common_frames
+    if not render_views or any(r is None for r in render_views):
+        return {}
+    return {
+        "vibe_orient": resample_to_common_frames(
+            [r["orient"] for r in render_views], F,
+            start_phase).astype(np.float32),
+        "vibe_betas": np.stack([r["betas"] for r in render_views]
+                               ).astype(np.float32),
+        "vibe_cam": resample_to_common_frames(
+            [r["orig_cam"] for r in render_views], F,
+            start_phase).astype(np.float32),
+    }
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--nemo_cfg_path", required=True)
@@ -78,7 +100,7 @@ def pack_penn(args, cfg) -> int:
     from ..data import (MultiViewBundle, load_openpose_dir,
                         load_penn_sequence, load_vibe_pickle,
                         person_joints2d, resample_to_common_frames,
-                        vibe_to_theta)
+                        vibe_render_arrays, vibe_to_theta)
     from ..data.bundle import resample_indices
 
     root = args.penn_root or cfg.get("root", "")
@@ -108,6 +130,7 @@ def pack_penn(args, cfg) -> int:
 
     op_views, gt_views, theta_views, j2d_views, frame_views = \
         [], [], [], [], []
+    render_views = []
     for v, sid in enumerate(seq_ids):
         gt_views.append(load_penn_sequence(
             osp.join(root, "labels", f"{sid}.mat")))
@@ -116,9 +139,11 @@ def pack_penn(args, cfg) -> int:
         if person is not None:
             theta_views.append(vibe_to_theta(person))
             j2d_views.append(person_joints2d(person))
+            render_views.append(vibe_render_arrays(person))
         else:
             theta_views.append(np.zeros((lens[v], 70), np.float32))
             j2d_views.append(None)
+            render_views.append(None)
         fdir = osp.join(root, "frames", sid)
         frame_views.append(sorted(
             osp.join(fdir, f) for f in os.listdir(fdir)
@@ -147,6 +172,7 @@ def pack_penn(args, cfg) -> int:
         kwargs["frame_paths"] = np.stack([
             np.asarray(f)[resample_indices(len(f), F, args.start_phase)]
             for f in frame_views])
+    kwargs.update(_vibe_render_kwargs(render_views, F, args.start_phase))
 
     bundle = MultiViewBundle(
         labels=labels,
@@ -176,7 +202,7 @@ def main(argv=None) -> int:
     names = cfg["videos"]["names"]
 
     op_per_view, gt_per_view, theta_per_view, frames_per_view = [], [], [], []
-    j2d_per_view = []
+    j2d_per_view, render_per_view = [], []
     for name in names:
         base = osp.join(exp_dir, name)
         # optional extracted frames (video_to_frames output) for eval overlays
@@ -222,12 +248,14 @@ def main(argv=None) -> int:
         else:
             person = None
         if person is not None:
-            from ..data import person_joints2d
+            from ..data import person_joints2d, vibe_render_arrays
             theta_per_view.append(vibe_to_theta(person))
             j2d_per_view.append(person_joints2d(person))
+            render_per_view.append(vibe_render_arrays(person))
         else:
             theta_per_view.append(np.zeros((op.shape[0], 70), np.float32))
             j2d_per_view.append(None)
+            render_per_view.append(None)
 
     lens = [o.shape[0] for o in op_per_view]
     F = min(lens) if args.n_frames <= 0 else min(args.n_frames, min(lens))
@@ -262,6 +290,7 @@ def main(argv=None) -> int:
                           np.float32)
 
     kwargs = {}
+    kwargs.update(_vibe_render_kwargs(render_per_view, F, args.start_phase))
     if args.spin_npys:
         # accept raw body pose (69), full pose (72 -> drop orient), or the
         # SPIN 85-d theta (cam 3 + pose 72 + betas 10 -> body cols 6:75)

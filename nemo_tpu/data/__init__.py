@@ -26,7 +26,7 @@ from .vibe_db import (VIBE_DB_SCHEMA, VibeDbBuilder, db_to_shards,
                       read_penn_action)
 from .vibe import (densify_person, load_baseline_arrays,
                    load_baseline_pickle, load_vibe_pickle, person_joints2d,
-                   select_person_near_gt, vibe_to_theta)
+                   select_person_near_gt, vibe_render_arrays, vibe_to_theta)
 from .keypoints import (SKELETONS, VOCAB, conversion_index, convert_kps,
                         get_perm_idxs, keypoint_hflip)
 from .vibe_readers import (bbox_from_kp2d, iter_tfrecord, parse_tf_example,
@@ -46,7 +46,8 @@ __all__ = [
     "extract_features", "load_db", "make_windows", "read_3dpw",
     "read_penn_action",
     "load_baseline_arrays", "load_baseline_pickle", "load_vibe_pickle",
-    "person_joints2d", "select_person_near_gt", "vibe_to_theta",
+    "person_joints2d", "select_person_near_gt", "vibe_render_arrays",
+    "vibe_to_theta",
     "bbox_from_keypoints", "crop_image", "crop_scale", "flip_img",
     "get_single_image_crop", "get_transform", "rot_aa", "transform_point",
     "uncrop",

@@ -24,6 +24,12 @@ Bundle contents (V = views, F = common frame count):
   framerate_multiplier: (V,) raw-frames-per-resampled-frame, len/F
                  (multi_view_sequence.py:300).
   frame_paths:   (V, F) source image paths for overlays (optional).
+  vibe_orient/vibe_betas/vibe_cam: the VIBE initializer's own global
+                 orient (V, F, 3), shape (V, 10) and image-space
+                 weak-persp orig_cam (V, F, 4) — render_vibe_rollout's
+                 vibe_cam/vibe_verts source (multi_view_sequence.py
+                 'vibe_cam' slot; neural_motion_model.py:1457-1462)
+                 (optional).
 """
 
 from __future__ import annotations
@@ -62,6 +68,12 @@ class MultiViewBundle:
     # consumed by rigid_transform_to_gt, neural_motion_model.py:1557-1577)
     glamr_orient: Optional[np.ndarray] = None  # (V, F, 3)
     glamr_trans: Optional[np.ndarray] = None   # (V, F, 3)
+    # VIBE's own global orient / shape / weak-persp camera, kept so the
+    # baseline-rollout figure (render_vibe_rollout :1415-1462) can render
+    # the initializer's prediction straight from the packed bundle
+    vibe_orient: Optional[np.ndarray] = None   # (V, F, 3)
+    vibe_betas: Optional[np.ndarray] = None    # (V, 10)
+    vibe_cam: Optional[np.ndarray] = None      # (V, F, 4) orig_cam
     name: str = "bundle"
 
     @property
@@ -129,7 +141,8 @@ class MultiViewBundle:
             payload[f"bpose_{k}"] = v
         for k in ("spin_theta", "gt3d_pose", "gt3d_trans", "gt_cameras",
                   "gt_betas", "framerate_multiplier", "frame_paths",
-                  "glamr_orient", "glamr_trans"):
+                  "glamr_orient", "glamr_trans",
+                  "vibe_orient", "vibe_betas", "vibe_cam"):
             v = getattr(self, k)
             if v is not None:
                 payload[k] = v
@@ -146,7 +159,8 @@ class MultiViewBundle:
         kwargs = {"baseline_poses": bposes} if bposes else {}
         for k in ("spin_theta", "gt3d_pose", "gt3d_trans", "gt_cameras",
                   "gt_betas", "framerate_multiplier", "frame_paths",
-                  "glamr_orient", "glamr_trans"):
+                  "glamr_orient", "glamr_trans",
+                  "vibe_orient", "vibe_betas", "vibe_cam"):
             if k in data.files:
                 kwargs[k] = data[k]
         return cls(labels=labels, hmr_theta=data["hmr_theta"],

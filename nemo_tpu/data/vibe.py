@@ -107,6 +107,27 @@ def person_joints2d(person: Dict[str, np.ndarray],
     return np.concatenate([j2d, conf.astype(np.float32)], axis=-1)
 
 
+def vibe_render_arrays(person: Dict[str, np.ndarray]
+                       ) -> Optional[Dict[str, np.ndarray]]:
+    """VIBE's own render inputs from a densified person dict.
+
+    Returns {'orient': (F, 3), 'betas': (10,), 'orig_cam': (F, 4)} — the
+    per-view slots backing the baseline-rollout figure (the reference keeps
+    'vibe_cam'/'vibe_verts' in each sequence dict and renders them in
+    render_vibe_rollout, neural_motion_model.py:1457-1462; we keep the
+    compact cam + mean betas and re-skin instead of storing verts).
+    None when the pickle carries no orig_cam (older VIBE dumps).
+    """
+    cam = person.get("orig_cam")
+    if cam is None:
+        return None
+    pose = np.asarray(person["pose"], np.float32)       # (F, 72)
+    betas = np.asarray(person.get("betas", np.zeros(10)), np.float32)
+    return {"orient": pose[:, :3],
+            "betas": betas.reshape(-1, 10).mean(0),
+            "orig_cam": np.asarray(cam, np.float32)}
+
+
 def load_baseline_arrays(path: str, max_frames: int, kind: str,
                          gt_2d: Optional[np.ndarray] = None
                          ) -> Optional[Dict[str, np.ndarray]]:

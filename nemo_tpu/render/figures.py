@@ -100,6 +100,29 @@ def render_rollout_figure(path: str, verts: np.ndarray, faces: np.ndarray,
     return grid
 
 
+def baseline_persons_from_bundle(bundle):
+    """Rebuild load_vibe_pickle-layout person dicts from a packed bundle's
+    vibe_orient/vibe_betas/vibe_cam slots + hmr_theta (the body pose the
+    packer kept) so render_baseline_rollout runs from the product path —
+    the reference renders from the sequence dicts' vibe slots the same way
+    (neural_motion_model.py:1457-1462). None when the slots aren't packed.
+    """
+    if bundle.vibe_cam is None or bundle.vibe_orient is None:
+        return None
+    persons = []
+    for v in range(bundle.num_views):
+        pose = np.concatenate([np.asarray(bundle.vibe_orient[v], np.float32),
+                               np.asarray(bundle.hmr_theta[v], np.float32)],
+                              axis=-1)                      # (F, 72)
+        betas = (np.asarray(bundle.vibe_betas[v], np.float32)
+                 if bundle.vibe_betas is not None
+                 else np.zeros(10, np.float32))
+        persons.append({"pose": pose, "betas": betas,
+                        "orig_cam": np.asarray(bundle.vibe_cam[v],
+                                               np.float32)})
+    return persons
+
+
 def render_baseline_rollout(path: str, model, persons, bundle,
                             num_frames: int = 8, num_views: int = -1,
                             max_size: int = MAX_SIZE) -> np.ndarray:
@@ -144,6 +167,141 @@ def render_baseline_rollout(path: str, model, persons, bundle,
             cam_i = type(cams)(*(np.asarray(a)[i] for a in cams))
             row.append(_mesh_panel(verts[i], model.faces, cam_i, image, hw))
         rows.append(row)
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_input_figure(path: str, bundle, num_frames: int = 8,
+                        num_views: int = -1,
+                        max_size: int = MAX_SIZE) -> np.ndarray:
+    """The raw input frames as a (views x frames) grid — the reference's
+    render_input_figure (neural_motion_model.py:2143-2212): no overlay,
+    just the sampled source images hconcat per view, rows vconcat, resized
+    to MAX_SIZE. Views without frame paths render white panels."""
+    from ..eval.metrics import eval_frame_indices
+    V, F = bundle.num_views, bundle.num_frames
+    nrow = V if num_views < 0 else min(V, num_views)
+    fidx = eval_frame_indices(F, num_frames)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    blank = np.ones(hw + (3,), np.float32)
+    rows = []
+    for v in range(nrow):
+        row = []
+        for f in fidx:
+            im = _bundle_frame(bundle, v, int(f))
+            row.append(blank if im is None else np.asarray(im, np.float32))
+        rows.append(row)
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_rollout_mv_figure(path: str, motion_idx: int, verts: np.ndarray,
+                             faces: np.ndarray, cameras, bundle,
+                             num_frames: int = 8, num_views: int = -1,
+                             max_size: int = MAX_SIZE) -> np.ndarray:
+    """ONE view's motion rendered through every view's camera, no
+    background — the reference's render_rollout_mv_figure
+    (neural_motion_model.py:2036-2143, no_bg asserted there too): row =
+    camera view, column = sampled frame, mesh = verts[motion_idx]."""
+    from ..eval.metrics import eval_frame_indices
+    V, F = verts.shape[:2]
+    nrow = V if num_views < 0 else min(V, num_views)
+    fidx = eval_frame_indices(F, num_frames)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    rows = []
+    for v in range(nrow):
+        row = [_mesh_panel(verts[motion_idx, int(f)], faces, cameras[v],
+                           None, hw) for f in fidx]
+        rows.append(row)
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_pretty_rollout_figure(path: str, verts: np.ndarray,
+                                 faces: np.ndarray, cameras, bundle,
+                                 num_frames: int = 6, num_views: int = -1,
+                                 spread_people: bool = True,
+                                 max_size: int = MAX_SIZE) -> np.ndarray:
+    """Per view, ALL sampled frames rendered as blue-spectrum people in one
+    checkerboard-ground scene, rows stacked — the reference's
+    render_pretty_rollout_figure (neural_motion_model.py:2499-2573) on its
+    multiperson pretty renderer (pretty_renderer.py:61-137): each frame's
+    vertices rotated by the view's learned camera rotation, centered,
+    spread evenly on x in [-1, 1], viewed by a fixed camera at depth 10
+    with the reference's 5x focal-to-image ratio."""
+    from ..eval.metrics import eval_frame_indices
+    from ..geometry.camera import Camera
+    from .mesh import render_pretty
+    V, F = verts.shape[:2]
+    nrow = V if num_views < 0 else min(V, num_views)
+    fidx = eval_frame_indices(F, num_frames)
+    n = max(len(fidx), 1)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    H, W = hw
+    cam = Camera(rotation=np.eye(3, dtype=np.float32),
+                 translation=np.zeros(3, np.float32),
+                 focal_length=np.float32(5.0 * min(H, W)),
+                 center=np.array([W / 2.0, H / 2.0], np.float32))
+    rows = []
+    for v in range(nrow):
+        R = np.asarray(cameras[v].rotation, np.float32)
+        if R.ndim == 3:
+            R = R[0]
+        people = []
+        for i, f in enumerate(fidx):
+            p = np.asarray(verts[v, int(f)], np.float32) @ R.T
+            p = p - p.mean(0, keepdims=True)
+            if spread_people:
+                p[:, 0] += -1.0 + (2.0 * i + 1.0) / n
+            p[:, 2] += 10.0
+            people.append(p)
+        rows.append([np.asarray(render_pretty(people, faces, cam, hw))])
+    grid = _compose_grid(rows, max_size)
+    _imsave(path, grid)
+    return grid
+
+
+def render_3d_rollout_figure(path: str, verts: np.ndarray,
+                             faces: np.ndarray, bundle,
+                             init_orient_rotmat: Optional[np.ndarray] = None,
+                             num_frames: int = 10,
+                             max_size: int = MAX_SIZE) -> np.ndarray:
+    """Free-viewpoint 3D rollout — the reference's render_3d_rollout_figure
+    (neural_motion_model.py:2682-2758): two rows of FIXED synthetic
+    cameras (euler rotations pi/2 * [2.5,.5,.5] and pi/2 * [1.5,.5,.5],
+    translation 100*[0,0,1]), each composed with the INVERSE of the
+    motion's initial global orient so the figure is canonicalized to the
+    subject's starting heading; no background frames."""
+    from scipy.spatial.transform import Rotation as sRot
+    from ..eval.metrics import eval_frame_indices
+    from ..geometry.camera import Camera
+    F = verts.shape[1]
+    fidx = eval_frame_indices(F, num_frames)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    H, W = hw
+    inv0 = (np.eye(3, dtype=np.float32) if init_orient_rotmat is None
+            else np.asarray(init_orient_rotmat, np.float32).T)
+    # focal sized so ~1.2 m half-extent fills the frame at the reference's
+    # z=100 viewing distance (its fixed renderer focal left the person tiny)
+    cam = Camera(rotation=np.eye(3, dtype=np.float32),
+                 translation=np.zeros(3, np.float32),
+                 focal_length=np.float32(min(H, W) * 100.0 / 2.4),
+                 center=np.array([W / 2.0, H / 2.0], np.float32))
+    off = np.array([0.0, 0.0, 100.0], np.float32)
+    rows = []
+    for r in ([2.5, 0.5, 0.5], [1.5, 0.5, 0.5]):
+        R = sRot.from_euler(
+            "xyz", np.pi / 2 * np.asarray(r)).as_matrix().astype(np.float32)
+        R = (R @ inv0).astype(np.float32)
+        # row r uses view r's motion like the reference (view_idx = ridx)
+        v = min(len(rows), verts.shape[0] - 1)
+        rows.append([_mesh_panel(
+            (np.asarray(verts[v, int(f)], np.float32)
+             - np.asarray(verts[v, int(f)], np.float32).mean(0)) @ R.T + off,
+            faces, cam, None, hw) for f in fidx])
     grid = _compose_grid(rows, max_size)
     _imsave(path, grid)
     return grid

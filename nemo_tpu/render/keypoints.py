@@ -126,6 +126,43 @@ def render_phase_plot(path: str, phase_params: dict, num_views: int) -> None:
     plt.close(fig)
 
 
+def render_dynamic_velocity_plots(out_dir: str, gt_joints15: np.ndarray,
+                                  framerate_multiplier=None,
+                                  fps: float = 30.0) -> None:
+    """Per-view GT joint-speed curves — the reference's plot_3d_dynamic
+    (neural_motion_model.py:712-782): v{v}_vel.png with all 15 joints'
+    speeds over frames, v{v}_vel_stats.png with max/mean/RWrist, speeds
+    scaled by 30 * framerate_multiplier like the dynamic-frame mask.
+
+    gt_joints15: (V, F, 15, 3) GT world joints (the dynamic mask's input).
+    """
+    import os
+    from ..body.constants import JOINT_NAMES
+    plt = _plt()
+    V, F = gt_joints15.shape[:2]
+    fm = (np.ones(V) if framerate_multiplier is None
+          else np.asarray(framerate_multiplier, np.float64).reshape(-1))
+    os.makedirs(out_dir, exist_ok=True)
+    for v in range(V):
+        diff = gt_joints15[v, 1:] - gt_joints15[v, :-1]
+        vel = np.sqrt((diff ** 2).sum(-1)) * (fps * fm[v])   # (F-1, 15)
+        x = np.arange(vel.shape[0])
+        fig = plt.figure()
+        for j in range(15):
+            plt.plot(x, vel[:, j], label=JOINT_NAMES[j])
+        plt.xlabel("Frame"), plt.ylabel("Vel"), plt.legend()
+        fig.savefig(os.path.join(out_dir, f"v{v}_vel.png"))
+        plt.close(fig)
+        fig = plt.figure()
+        rwrist = JOINT_NAMES.index("OP RWrist")
+        for y, label in ((vel.max(1), "max"), (vel.mean(1), "mean"),
+                         (vel[:, rwrist], "rwrist")):
+            plt.plot(x, y, label=label)
+        plt.xlabel("Frame"), plt.ylabel("Vel"), plt.legend()
+        fig.savefig(os.path.join(out_dir, f"v{v}_vel_stats.png"))
+        plt.close(fig)
+
+
 def render_loss_curves(out_dir: str, losses: dict) -> None:
     """One PNG per loss channel (entry :271-281)."""
     import os

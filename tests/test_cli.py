@@ -73,6 +73,8 @@ class TestPreprocessCLI:
             os.makedirs(vd)
             person = {
                 "pose": rng.randn(T, 72).astype(np.float32),
+                "betas": rng.randn(T, 10).astype(np.float32),
+                "orig_cam": rng.rand(T, 4).astype(np.float32) + 0.5,
                 "joints2d_img_coord":
                     (rng.rand(T, 49, 2) * 100).astype(np.float32),
                 "frame_ids": np.arange(T),
@@ -98,6 +100,19 @@ class TestPreprocessCLI:
         assert "glamr" in b.baseline_poses
         assert b.glamr_orient.shape == (2, 10, 3)
         assert b.glamr_trans.shape == (2, 10, 3)
+        # VIBE's own render slots (render_vibe_rollout's vibe_cam source,
+        # neural_motion_model.py:1457-1462): orient + mean betas + orig_cam
+        assert b.vibe_orient.shape == (2, 10, 3)
+        assert b.vibe_betas.shape == (2, 10)
+        assert b.vibe_cam.shape == (2, 10, 4)
+        from nemo_tpu.render import baseline_persons_from_bundle
+        persons = baseline_persons_from_bundle(b)
+        assert len(persons) == 2
+        assert persons[0]["pose"].shape == (10, 72)
+        np.testing.assert_allclose(persons[0]["pose"][:, :3],
+                                   b.vibe_orient[0])
+        np.testing.assert_allclose(persons[0]["pose"][:, 3:],
+                                   b.hmr_theta[0])
 
     def test_pack_penn_seq_names_layout(self, tmp_path, rng):
         """seq_names-style YAML + --penn_root packs the reference's Penn

@@ -497,6 +497,57 @@ class TestComposedFigures:
         assert grid.shape == (2 * 48, 2 * 48, 3)
         assert (grid < 0.99).any()          # mesh pixels present
 
+    def test_input_figure_grid(self, tmp_path, rng):
+        """render_input_figure (:2143-2212): raw-frames grid; views
+        without frame paths render white panels."""
+        import os
+        from nemo_tpu.render import render_input_figure
+        _, _, _, bundle = self._setup(rng)
+        p = str(tmp_path / "input.png")
+        grid = render_input_figure(p, bundle, num_frames=3)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 3 * 48, 3)
+        np.testing.assert_allclose(grid, 1.0)   # no frame paths -> white
+
+    def test_rollout_mv_figure(self, tmp_path, rng):
+        """render_rollout_mv_figure (:2036-2143): ONE motion through every
+        view's camera, no background."""
+        import os
+        from nemo_tpu.render import render_rollout_mv_figure
+        model, verts, cams, bundle = self._setup(rng)
+        p = str(tmp_path / "mv.png")
+        grid = render_rollout_mv_figure(p, 1, verts, model.faces, cams,
+                                        bundle, num_frames=2)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 2 * 48, 3)
+        assert (grid < 0.99).any()          # mesh pixels present
+
+    def test_pretty_rollout_figure(self, tmp_path, rng):
+        """render_pretty_rollout_figure (:2499-2573): per view one pretty
+        multi-person scene (spread frames, checkerboard ground)."""
+        import os
+        from nemo_tpu.render import render_pretty_rollout_figure
+        model, verts, cams, bundle = self._setup(rng)
+        p = str(tmp_path / "pretty.png")
+        grid = render_pretty_rollout_figure(p, verts, model.faces, cams,
+                                            bundle, num_frames=2)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 48, 3)    # one panel per view row
+        assert (grid < 0.99).any()              # scene pixels present
+
+    def test_3d_rollout_figure(self, tmp_path, rng):
+        """render_3d_rollout_figure (:2682-2758): two fixed synthetic
+        viewpoints composed with the inverse initial orient, no bg."""
+        import os
+        from nemo_tpu.render import render_3d_rollout_figure
+        model, verts, _, bundle = self._setup(rng)
+        p = str(tmp_path / "r3d.png")
+        grid = render_3d_rollout_figure(p, verts, model.faces, bundle,
+                                        num_frames=3)
+        assert os.path.exists(p)
+        assert grid.shape == (2 * 48, 3 * 48, 3)
+        assert (grid < 0.99).any()          # mesh pixels present
+
     def test_rollout_figure_resize_cap(self, tmp_path, rng):
         from nemo_tpu.render import render_rollout_figure
         model, verts, cams, bundle = self._setup(rng, V=1, F=2)
@@ -533,6 +584,21 @@ class TestComposedFigures:
         render_global_overlay(str(tmp_path / "o2.png"), rng.randn(5, 3),
                               rng.randn(5, 3))   # no GLAMR
         assert os.path.exists(str(tmp_path / "o2.png"))
+
+
+class TestDynamicVelocityPlots:
+    def test_writes_per_view_plots(self, tmp_path, rng):
+        """plot_3d_dynamic (:712-782): v{v}_vel.png (15 joint speeds) +
+        v{v}_vel_stats.png (max/mean/rwrist), scaled by 30 * fm."""
+        import os
+        from nemo_tpu.render import render_dynamic_velocity_plots
+        gt = rng.rand(2, 6, 15, 3).astype(np.float32)
+        out = str(tmp_path / "dyn")
+        render_dynamic_velocity_plots(out, gt,
+                                      framerate_multiplier=[1.0, 1.4])
+        for v in range(2):
+            assert os.path.exists(os.path.join(out, f"v{v}_vel.png"))
+            assert os.path.exists(os.path.join(out, f"v{v}_vel_stats.png"))
 
 
 class TestWorldRollouts:
