@@ -3,7 +3,7 @@
 from .keypoints import (OP25_EDGES, draw_skeleton,
                         render_dynamic_velocity_plots, render_eval_grid,
                         render_keypoint_rollout, render_loss_curves,
-                        render_phase_plot)
+                        render_per_joint_keypoint_frames, render_phase_plot)
 from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
@@ -21,7 +21,8 @@ from .video import render_mesh_video, render_overlay_video
 __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "render_keypoint_rollout",
            "render_dynamic_velocity_plots",
-           "render_loss_curves", "render_phase_plot",
+           "render_loss_curves", "render_per_joint_keypoint_frames",
+           "render_phase_plot",
            "blue_spectrum", "checkerboard_plane", "combine_meshes",
            "raster_render", "rasterize_triangles", "render_mesh_overlay",
            "render_pretty", "splat_render", "upsample_faces",

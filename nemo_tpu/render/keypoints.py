@@ -126,6 +126,55 @@ def render_phase_plot(path: str, phase_params: dict, num_views: int) -> None:
     plt.close(fig)
 
 
+def render_per_joint_keypoint_frames(cache_dir: str, pts2d: np.ndarray,
+                                     bundle, num_frames: int = 4,
+                                     num_views: int = -1,
+                                     conf_threshold: float = 0.5) -> int:
+    """Per-joint keypoint inspection frames — the reference's
+    render_rollout_keypoint_per_joint_figure (neural_motion_model.py:
+    355-421): for each sampled (view, frame) and each joint with
+    confidence > 0.5, writes ``{ridx:03d}_{cidx:03d}_{joint}.png`` — the
+    frame with ONE colored dot (color C{joint_idx % 10}) at that joint —
+    into a cache dir. Returns the number of images written.
+
+    pts2d: (V, F, 25, 3) keypoints + confidence (the GT collation layout).
+    """
+    import os
+    from ..body.constants import JOINT_NAMES
+    from ..eval.metrics import eval_frame_indices
+    plt = _plt()
+    from matplotlib import colors as mcolors
+    V, F = pts2d.shape[:2]
+    nrow = V if num_views < 0 else min(V, num_views)
+    fidx = eval_frame_indices(F, num_frames)
+    H, W = int(bundle.img_d0), int(bundle.img_d1)
+    os.makedirs(cache_dir, exist_ok=True)
+    n = 0
+    for ridx in range(nrow):
+        for cidx, f in enumerate(fidx):
+            from .figures import _bundle_frame
+            im = _bundle_frame(bundle, ridx, int(f))
+            if im is None:
+                im = np.ones((H, W, 3), np.float32)
+            for j in range(pts2d.shape[2]):
+                kp = pts2d[ridx, int(f), j]
+                if kp[-1] <= conf_threshold:
+                    continue
+                out = np.asarray(im, np.float32).copy()
+                rgb = np.asarray(mcolors.to_rgb(f"C{j % 10}"), np.float32)
+                y0, x0 = int(round(kp[1])), int(round(kp[0]))
+                r = max(2, min(H, W) // 60)
+                ys = slice(max(y0 - r, 0), min(y0 + r + 1, H))
+                xs = slice(max(x0 - r, 0), min(x0 + r + 1, W))
+                out[ys, xs] = rgb
+                name = JOINT_NAMES[j] if j < len(JOINT_NAMES) else str(j)
+                plt.imsave(os.path.join(
+                    cache_dir, f"{ridx:03d}_{cidx:03d}_{name}.png"),
+                    np.clip(out, 0, 1))
+                n += 1
+    return n
+
+
 def render_dynamic_velocity_plots(out_dir: str, gt_joints15: np.ndarray,
                                   framerate_multiplier=None,
                                   fps: float = 30.0) -> None:

@@ -586,6 +586,31 @@ class TestComposedFigures:
         assert os.path.exists(str(tmp_path / "o2.png"))
 
 
+class TestPerJointKeypointFrames:
+    def test_writes_confident_joints_only(self, tmp_path, rng):
+        """render_rollout_keypoint_per_joint_figure (:355-421): one dot
+        image per confident (view, frame, joint), named
+        {ridx}_{cidx}_{joint}.png."""
+        import os
+        from nemo_tpu.data import MultiViewBundle
+        from nemo_tpu.render import render_per_joint_keypoint_frames
+        V, F = 2, 4
+        pts = np.concatenate(
+            [rng.rand(V, F, 25, 2).astype(np.float32) * 40,
+             np.zeros((V, F, 25, 1), np.float32)], -1)
+        pts[:, :, :3, 2] = 1.0              # only 3 joints confident
+        bundle = MultiViewBundle(
+            labels={"op": pts}, hmr_theta=np.zeros((V, F, 69), np.float32),
+            hmr_mask=np.ones((V, F, 1), np.float32),
+            img_hw=np.array([48.0, 48.0], np.float32))
+        out = str(tmp_path / "perjoint")
+        n = render_per_joint_keypoint_frames(out, pts, bundle, num_frames=2)
+        assert n == V * 2 * 3
+        files = os.listdir(out)
+        assert len(files) == n
+        assert any(f.startswith("000_000_") for f in files)
+
+
 class TestDynamicVelocityPlots:
     def test_writes_per_view_plots(self, tmp_path, rng):
         """plot_3d_dynamic (:712-782): v{v}_vel.png (15 joint speeds) +
