@@ -136,6 +136,30 @@ def test_fit_many_seeds_vmap(rng):
     assert not np.allclose(cams[0], cams[1])
 
 
+def test_make_fanout_program_reuse(rng):
+    """make_fanout exposes ONE compiled program for repeated sweeps: calling
+    it twice with the same inputs is deterministic and hits the jit cache
+    (the re-trace-per-call behavior it replaced compiled every sweep)."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.data import synthetic_problem
+    from nemo_tpu.fit import NemoConfig, build_assets
+    from nemo_tpu.parallel import make_fanout
+
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    bundle, _ = synthetic_problem(model, num_views=2, num_frames=8)
+    cfg = NemoConfig(model_version=2, h_dim=16, instance_code_size=2,
+                     phase_rbf_dim=8, monotonic_network_n_nodes=4,
+                     batch_size=8, weight_gmm_loss=0.0, label_type="gt",
+                     lr_factor=1.0)
+    assets = build_assets(bundle, model, cfg)
+    fan, inputs = make_fanout(cfg, assets, num_seeds=2, steps=3)
+    _, losses1 = fan(*inputs)
+    misses_before = fan._cache_size()
+    _, losses2 = fan(*inputs)
+    assert fan._cache_size() == misses_before   # no re-trace on reuse
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2))
+
+
 def test_distributed_single_host_semantics(monkeypatch):
     """Multi-host hooks degrade to no-ops on one host (parallel/distributed)."""
     from nemo_tpu.parallel import distributed
