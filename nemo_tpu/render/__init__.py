@@ -12,8 +12,10 @@ from .figures import (baseline_persons_from_bundle, gt_cameras_for_render,
                       render_3d_rollout_figure, render_baseline_rollout,
                       render_comparison_figure,
                       render_glamr_rollout, render_global_overlay,
+                      render_global_root_trajectories,
                       render_gt_rollout, render_input_figure,
                       render_pred_in_gt_rollout,
+                      render_pretty_individual_figure,
                       render_pretty_rollout_figure,
                       render_rollout_figure, render_rollout_mv_figure)
 from .video import render_mesh_video, render_overlay_video
@@ -31,7 +33,9 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "baseline_persons_from_bundle", "render_3d_rollout_figure",
            "render_baseline_rollout",
            "render_comparison_figure", "render_global_overlay",
-           "render_input_figure", "render_pretty_rollout_figure",
+           "render_global_root_trajectories",
+           "render_input_figure", "render_pretty_individual_figure",
+           "render_pretty_rollout_figure",
            "render_rollout_mv_figure",
            "render_rollout_figure", "render_gt_rollout",
            "render_pred_in_gt_rollout", "render_glamr_rollout",

@@ -224,6 +224,8 @@ def render_pretty_rollout_figure(path: str, verts: np.ndarray,
                                  faces: np.ndarray, cameras, bundle,
                                  num_frames: int = 6, num_views: int = -1,
                                  spread_people: bool = True,
+                                 frame_idxs: Optional[Sequence[int]] = None,
+                                 color: Optional[Sequence[float]] = None,
                                  max_size: int = MAX_SIZE) -> np.ndarray:
     """Per view, ALL sampled frames rendered as blue-spectrum people in one
     checkerboard-ground scene, rows stacked — the reference's
@@ -231,13 +233,19 @@ def render_pretty_rollout_figure(path: str, verts: np.ndarray,
     multiperson pretty renderer (pretty_renderer.py:61-137): each frame's
     vertices rotated by the view's learned camera rotation, centered,
     spread evenly on x in [-1, 1], viewed by a fixed camera at depth 10
-    with the reference's 5x focal-to-image ratio."""
+    with the reference's 5x focal-to-image ratio.
+
+    frame_idxs selects explicit frames instead of the even phase sample —
+    the reference's render_pretty_rollout_figure_frame_list variant
+    (:2642-2681); color overrides the per-person spectrum with one flat
+    base color (its `color=` / `renderer.set_color` path, :2530-2533)."""
     from ..eval.metrics import eval_frame_indices
     from ..geometry.camera import Camera
     from .mesh import render_pretty
     V, F = verts.shape[:2]
     nrow = V if num_views < 0 else min(V, num_views)
-    fidx = eval_frame_indices(F, num_frames)
+    fidx = (list(frame_idxs) if frame_idxs is not None
+            else eval_frame_indices(F, num_frames))
     n = max(len(fidx), 1)
     hw = (int(bundle.img_d0), int(bundle.img_d1))
     H, W = hw
@@ -258,10 +266,46 @@ def render_pretty_rollout_figure(path: str, verts: np.ndarray,
                 p[:, 0] += -1.0 + (2.0 * i + 1.0) / n
             p[:, 2] += 10.0
             people.append(p)
-        rows.append([np.asarray(render_pretty(people, faces, cam, hw))])
+        rows.append([np.asarray(render_pretty(
+            people, faces, cam, hw,
+            person_colors=None if color is None else np.asarray(color)))])
     grid = _compose_grid(rows, max_size)
     _imsave(path, grid)
     return grid
+
+
+def render_pretty_individual_figure(dirname: str, verts: np.ndarray,
+                                    faces: np.ndarray, camera, bundle,
+                                    max_size: int = MAX_SIZE) -> list:
+    """Each phase-sampled body rendered ALONE to dirname/{i}.png — the
+    reference's render_pretty_individual_figure (neural_motion_model.py:
+    2611-2641, multiperson_renderer.render_separate): N bodies from
+    get_preds_given_phases(linspace(0,1,N)) through one view's learned
+    camera rotation, no ground plane, no spreading.
+
+    verts: (N, V, 3) world vertices (one per sampled phase)."""
+    from ..geometry.camera import Camera
+    from .mesh import render_pretty
+    os.makedirs(dirname, exist_ok=True)
+    hw = (int(bundle.img_d0), int(bundle.img_d1))
+    H, W = hw
+    R = np.asarray(camera.rotation, np.float32)
+    if R.ndim == 3:
+        R = R[0]
+    cam = Camera(rotation=np.eye(3, dtype=np.float32),
+                 translation=np.zeros(3, np.float32),
+                 focal_length=np.float32(5.0 * min(H, W)),
+                 center=np.array([W / 2.0, H / 2.0], np.float32))
+    paths = []
+    for i in range(verts.shape[0]):
+        p = np.asarray(verts[i], np.float32) @ R.T
+        p = p - p.mean(0, keepdims=True)
+        p[:, 2] += 10.0
+        im = np.asarray(render_pretty([p], faces, cam, hw, add_ground=False))
+        fpath = osp.join(dirname, f"{i}.png")
+        _imsave(fpath, _resize_nearest(im, max_size))
+        paths.append(fpath)
+    return paths
 
 
 def render_3d_rollout_figure(path: str, verts: np.ndarray,
@@ -312,6 +356,7 @@ def render_comparison_figure(path: str, view_idx: int, verts: np.ndarray,
                              init_verts: Optional[np.ndarray] = None,
                              init_cameras=None, num_frames: int = 6,
                              start_phase: float = 0.0,
+                             crop: Optional[Sequence[int]] = None,
                              max_size: int = MAX_SIZE) -> np.ndarray:
     """One view's comparison strip (render_comparison_figure :2325-2407):
     row 0 = raw frames (white when no frame_paths), optional middle row =
@@ -319,27 +364,82 @@ def render_comparison_figure(path: str, view_idx: int, verts: np.ndarray,
     init_verts is given), last row = NeMo's mesh over the frame.
 
     verts: (F, N, 3) world vertices for this view; init_verts same layout.
+    crop=(r0, r1) row-slices the data and NeMo panels — the reference's
+    render_comparison_figure_pretty padding-removal variant (:2407-2497).
     """
     F = verts.shape[0]
     ncol = min(F, num_frames) if num_frames > 0 else F
     hw = (int(bundle.img_d0), int(bundle.img_d1))
     fidx = _frame_indices(F, ncol, start_phase)
 
+    def _crop(im):
+        return im if crop is None else im[int(crop[0]):int(crop[1])]
+
     data_row, init_row, pred_row = [], [], []
     for f in fidx:
         image = _bundle_frame(bundle, view_idx, f)
         blank = np.ones(hw + (3,), np.float32)
-        data_row.append(image if image is not None else blank)
+        data_row.append(_crop(image if image is not None else blank))
         if init_verts is not None:
             cam = init_cameras if init_cameras is not None else camera
-            init_row.append(_mesh_panel(init_verts[f], faces, cam,
-                                        image, hw))
-        pred_row.append(_mesh_panel(verts[f], faces, camera, image, hw))
+            init_row.append(_crop(_mesh_panel(init_verts[f], faces, cam,
+                                              image, hw)))
+        pred_row.append(_crop(_mesh_panel(verts[f], faces, camera,
+                                          image, hw)))
 
     rows = [data_row] + ([init_row] if init_row else []) + [pred_row]
     grid = _compose_grid(rows, max_size)
     _imsave(path, grid)
     return grid
+
+
+def render_global_root_trajectories(out_dir: str, gt_trans: np.ndarray,
+                                    pred_trans: np.ndarray,
+                                    glamr_trans: Optional[np.ndarray] = None,
+                                    ) -> dict:
+    """Per-trajectory 3D root panels — the reference's render_3d_global_root
+    (neural_motion_model.py:825-911): one gray 3D line + Greens time-ramp
+    scatter per trajectory, SHARED axis limits across GT/GLAMR/pred, the
+    GLAMR and NeMo panels titled with their mean euclidean distance to GT
+    in meters; written as gt.png / glamr.png / pred.png in out_dir.
+
+    Inputs are (F, 3) world root translations AFTER rigid alignment.
+    Returns {name: mean-distance-to-GT} for the non-GT trajectories."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    sets = [("gt", "GT", np.asarray(gt_trans, np.float64))]
+    if glamr_trans is not None:
+        sets.append(("glamr", "GLAMR", np.asarray(glamr_trans, np.float64)))
+    sets.append(("pred", "NeMo", np.asarray(pred_trans, np.float64)))
+
+    allpts = np.concatenate([s[2] for s in sets], axis=0)
+    mins, maxs = allpts.min(0), allpts.max(0)
+    errs = {}
+    for fname, label, pts in sets:
+        if fname == "gt":
+            title = "GT"
+        else:
+            err = float(np.sqrt(((pts - sets[0][2]) ** 2).sum(-1)).mean())
+            errs[fname] = err
+            title = f"{label} - Dist: {err:.2f} meter"
+        fig = plt.figure()
+        ax = plt.axes(projection="3d")
+        ax.plot3D(pts[:, 0], pts[:, 1], pts[:, 2], "gray")
+        ax.scatter3D(pts[:, 0], pts[:, 1], pts[:, 2],
+                     c=np.linspace(0.3, 1, len(pts)), cmap="Greens")
+        ax.set_xlim([mins[0], maxs[0]])
+        ax.set_ylim([mins[1], maxs[1]])
+        ax.set_zlim([mins[2], maxs[2]])
+        ax.set_xticks(np.linspace(mins[0], maxs[0], 5))
+        ax.set_yticks(np.linspace(mins[1], maxs[1], 5))
+        ax.set_zticks(np.linspace(mins[2], maxs[2], 5))
+        ax.set_title(title, fontsize=20)
+        fig.savefig(osp.join(out_dir, f"{fname}.png"), bbox_inches="tight")
+        plt.close(fig)
+    return errs
 
 
 def render_global_overlay(path: str, gt_trans: np.ndarray,

@@ -460,15 +460,20 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
                   add_ground: bool = True,
                   ground_width: float = 8.0,
                   light_dir=(0.0, -0.4, -1.0),
-                  alpha: float = 1.0) -> np.ndarray:
+                  alpha: float = 1.0,
+                  person_colors: Optional[np.ndarray] = None) -> np.ndarray:
     """Multi-person 'pretty' render: blue-spectrum people over a
     checkerboard ground plane, one z-buffer (pretty_renderer.py:44-137).
 
     verts_list: list of (V, 3) CAMERA-frame vertex sets (the caller applies
     any world->camera transform, like the reference's per-person extrinsics).
+    person_colors: optional (n_people, 3) float [0,1] base colors replacing
+    the blue spectrum (the reference renderer's set_color path).
     """
     H, W = img_hw
-    spectrum = blue_spectrum(len(verts_list))
+    spectrum = (blue_spectrum(len(verts_list)) if person_colors is None
+                else np.broadcast_to(np.asarray(person_colors, np.float32),
+                                     (len(verts_list), 3)))
     all_v, all_c, all_f = [], [], []
     off = 0
     l = jnp.asarray(light_dir)

@@ -585,6 +585,59 @@ class TestComposedFigures:
                               rng.randn(5, 3))   # no GLAMR
         assert os.path.exists(str(tmp_path / "o2.png"))
 
+    def test_global_root_trajectories(self, tmp_path, rng):
+        """render_3d_global_root (:825-911): gt/glamr/pred 3D panels with
+        mean-distance-to-GT titles; error values verifiable by hand."""
+        import os
+        from nemo_tpu.render import render_global_root_trajectories
+        gt = rng.randn(8, 3)
+        pred = gt + 1.0                       # offset by sqrt(3) everywhere
+        errs = render_global_root_trajectories(str(tmp_path), gt, pred,
+                                               glamr_trans=gt)
+        for f in ("gt.png", "glamr.png", "pred.png"):
+            assert os.path.exists(str(tmp_path / f))
+        np.testing.assert_allclose(errs["pred"], np.sqrt(3.0), rtol=1e-6)
+        np.testing.assert_allclose(errs["glamr"], 0.0, atol=1e-12)
+        errs2 = render_global_root_trajectories(str(tmp_path / "ng"),
+                                                gt, pred)   # no GLAMR
+        assert "glamr" not in errs2
+
+    def test_pretty_rollout_frame_list_and_color(self, tmp_path, rng):
+        """render_pretty_rollout_figure_frame_list (:2642-2681) = explicit
+        frame_idxs; color= flat base color (set_color, :2530-2533)."""
+        from nemo_tpu.render import render_pretty_rollout_figure
+        model, verts, cams, bundle = self._setup(rng)
+        p = str(tmp_path / "pfl.png")
+        grid = render_pretty_rollout_figure(p, verts, model.faces, cams,
+                                            bundle, frame_idxs=[0, 3, 1],
+                                            color=(0.8, 0.2, 0.2))
+        assert grid.shape == (2 * 48, 48, 3)
+        mask = grid.reshape(-1, 3).std(1) > 0.01   # non-gray scene pixels
+        px = grid.reshape(-1, 3)[mask]
+        assert px.size and (px[:, 0] > px[:, 2]).mean() > 0.9  # red people
+
+    def test_pretty_individual_figure(self, tmp_path, rng):
+        """render_pretty_individual_figure (:2611-2641): one file per
+        phase-sampled body, no ground."""
+        import os
+        from nemo_tpu.render import render_pretty_individual_figure
+        model, verts, cams, bundle = self._setup(rng)
+        paths = render_pretty_individual_figure(
+            str(tmp_path / "sep"), verts[0, :3], model.faces, cams[0],
+            bundle)
+        assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+
+    def test_comparison_figure_crop(self, tmp_path, rng):
+        """render_comparison_figure_pretty's crop (:2446,:2492): rows are
+        sliced to crop[0]:crop[1] before composition."""
+        from nemo_tpu.render import render_comparison_figure
+        model, verts, cams, bundle = self._setup(rng, V=1, F=4)
+        grid = render_comparison_figure(str(tmp_path / "cc.png"), 0,
+                                        verts[0], model.faces, cams[0],
+                                        bundle, num_frames=2,
+                                        crop=(8, 40))
+        assert grid.shape == (2 * 32, 2 * 48, 3)   # 48-row panels -> 32
+
 
 class TestPerJointKeypointFrames:
     def test_writes_confident_joints_only(self, tmp_path, rng):
