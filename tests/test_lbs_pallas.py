@@ -329,3 +329,41 @@ class TestFusedV2V:
                                           w_tiles, V, s0, tb=8, vp=vp)
         for a, b, name in zip(g_rec, g_vp, ("gpf", "gA34", "gvsh")):
             assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+    @pytest.mark.parametrize("table_dtype", [jnp.float32, jnp.bfloat16])
+    def test_fused_vjp_bit_exact(self, model, rng, table_dtype):
+        """NEMO_TPU_SKIN_FUSED_VJP: the one-pass fwd+bwd kernel produces
+        BIT-IDENTICAL gpf/gA gradients to the fwd-kernel + sign +
+        bwd-kernel pair (same dot shapes and accumulation orders) and the
+        same loss; gvsh (the v_shaped/betas chain) is allowed a tiny
+        scale-relative slack because the compiler fuses its multiply-adds
+        differently in the two program contexts (measured: ~5e-7 absolute
+        on O(1) values, i.e. last-bits of the batch reduction)."""
+        rot, betas = make_inputs(model, 2, rng)
+        rot_r, _ = make_inputs(model, 2, np.random.RandomState(3))
+        pf_o, A_o, vsh_t = raw_op_inputs(model, rot, betas)
+        pf_r, A_r, _ = raw_op_inputs(model, rot_r, betas)
+        pd_tiles, w_tiles, V = lbs_pallas.tile_tables(
+            model.posedirs_t, model.lbs_weights_t, tv=128,
+            dtype=table_dtype)
+        pd_tiles, w_tiles = jnp.asarray(pd_tiles), jnp.asarray(w_tiles)
+
+        orig_call = lbs_pallas.pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(lbs_pallas.pl, "pallas_call", interp_call):
+            t0, s0, _ = lbs_pallas._v2v_fwd_pallas(
+                pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8)
+            g_pair = lbs_pallas._bwd_pallas(pf_o, A_o, vsh_t, pd_tiles,
+                                            w_tiles, V, s0, tb=8)
+            t1, *g_fused = lbs_pallas._v2v_fwdbwd_pallas(
+                pf_o, A_o, pf_r, A_r, vsh_t, pd_tiles, w_tiles, V, tb=8)
+        np.testing.assert_allclose(float(t1), float(t0), rtol=1e-6)
+        for a, b, name in zip(g_pair[:2], g_fused[:2], ("gpf", "gA34")):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name
+        gv_a, gv_b = np.asarray(g_pair[2]), np.asarray(g_fused[2])
+        np.testing.assert_allclose(gv_a, gv_b, rtol=1e-6,
+                                   atol=1e-6 * np.abs(gv_a).max())
