@@ -1,0 +1,296 @@
+"""Tile-parallel triangle rasterizer as a Pallas TPU kernel.
+
+TPU-native replacement for the reference's pyrender/OSMesa offscreen
+renderer (hmr/renderer.py:88-181). The XLA binned rasterizer
+(render/mesh.py:rasterize_triangles_binned) is HBM-bound: every
+256-face chunk materializes a dozen (chunk, tile, tile) f32 intermediates
+(~4 MB each) that round-trip HBM because XLA won't fuse the whole
+coverage/bary/z-min block. This kernel keeps the per-tile z/face/bary
+buffers AND all per-group intermediates resident in VMEM: HBM traffic is
+one pass over the per-tile face tables plus the final image-sized outputs.
+
+Two-phase design shared with the XLA version:
+  1. bin (XLA): each face's screen bbox is scattered into up-to-span^2
+     tile entries; (tile_id, face) pairs are argsorted and segmented into
+     a (T, K) face table. Entries for a tile are a contiguous prefix, so
+     a per-tile count bounds the kernel's inner loop — empty tiles cost
+     one loop-bound check instead of K dummy faces.
+  2. raster (Pallas): grid (nty, ntx); each program owns a (TH, TW)
+     pixel slab and folds its face table in groups of 8, vectorized
+     (8, TH, TW) coverage/barycentric math + a sequential 8-way z-min
+     fold (strict '<' keeps the first minimum, matching argmin).
+
+The arithmetic mirrors rasterize_triangles_binned's chunk_step up to
+divide elimination (reciprocal-z attributes + inverse-z fold, see the
+kernel docstring); outputs agree with the XLA path to float ulps given
+identical face tables (tests/test_raster_pallas.py).
+
+Render-only: no custom VJP (the fit path never rasterizes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+GROUP = 8          # faces folded per inner iteration (sublane-aligned, f32)
+
+
+def bin_faces(tri: jnp.ndarray, tz: jnp.ndarray, ok: jnp.ndarray,
+              img_hw: Tuple[int, int], th: int, tw: int,
+              faces_per_tile: int, span: int = 2
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, int]:
+    """Phase 1: face -> (th, tw)-tile bins (rectangular-tile generalization
+    of rasterize_triangles_binned's square-tile binning; same sentinel +
+    argsort + searchsorted construction).
+
+    tri: (F, 3, 2) screen-space vertices; tz: (F, 3) camera z; ok: (F,)
+    faces in front of the near plane. Returns (tbl_face (T, K) int32,
+    tbl_valid (T, K) bool, counts (T,) int32, nty, ntx). Valid entries are
+    a contiguous prefix of each row; counts[t] = number of valid entries
+    (duplicates from the span x span scatter included — harmless, the
+    z-fold is idempotent per face)."""
+    H, W = img_hw
+    F = tri.shape[0]
+    nty, ntx = -(-H // th), -(-W // tw)
+    T = nty * ntx
+
+    fx0 = jnp.clip(jnp.floor(tri[:, :, 0].min(1) / tw), 0, ntx - 1)
+    fx1 = jnp.clip(jnp.floor(tri[:, :, 0].max(1) / tw), 0, ntx - 1)
+    fy0 = jnp.clip(jnp.floor(tri[:, :, 1].min(1) / th), 0, nty - 1)
+    fy1 = jnp.clip(jnp.floor(tri[:, :, 1].max(1) / th), 0, nty - 1)
+    entries, eface = [], []
+    fids = jnp.arange(F, dtype=jnp.int32)
+    for dy in range(span):
+        for dx in range(span):
+            ty = jnp.minimum(fy0 + dy, fy1)
+            tx = jnp.minimum(fx0 + dx, fx1)
+            tid = (ty * ntx + tx).astype(jnp.int32)
+            entries.append(jnp.where(ok, tid, T))        # T = sentinel
+            eface.append(fids)
+    tile_ids = jnp.concatenate(entries)                  # (span^2 F,)
+    face_ids = jnp.concatenate(eface)
+    order = jnp.argsort(tile_ids)
+    sorted_ids = tile_ids[order]
+    sorted_face = face_ids[order]
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(T))
+    ends = jnp.searchsorted(sorted_ids, jnp.arange(T), side='right')
+    K = faces_per_tile
+    n_entries = span * span * F
+    gidx = jnp.clip(starts[:, None] + jnp.arange(K)[None], 0, n_entries - 1)
+    tbl_face = sorted_face[gidx]                         # (T, K)
+    tbl_valid = sorted_ids[gidx] == jnp.arange(T)[:, None]
+    counts = jnp.clip(ends - starts, 0, K).astype(jnp.int32)
+    return tbl_face, tbl_valid, counts, nty, ntx
+
+
+def _raster_kernel(counts_ref, attr_ref, izb_ref, fi_ref, bb_ref,
+                   *, th: int, tw: int, ntx: int):
+    """Grid (nty, ntx). Blocks: counts (T,) scalar-prefetch (SMEM); attr
+    (1, n_groups, GROUP, 16) f32 [x0 y0 x1 y1 x2 y2 1/z0 1/z1 1/z2 fid
+    pad...] (fid rides the gather as an exact-in-f32 column — one fused
+    (T, K, 16) gather builds the whole input); outputs izb (1, th, tw)
+    f32 (inverse-z during the fold, finalized to z / inf-empty), fi
+    (1, th, tw) int32, bb (1, 3, th, tw) f32. Entry validity is implicit:
+    entries are a sorted prefix, so face k of group g is live iff
+    g*GROUP + k < count.
+
+    The face-group math reproduces rasterize_triangles_binned's chunk_step
+    up to two divide-elimination transforms (ulp-level differences):
+    vertex 1/z reciprocals are precomputed in prep (q = b * iz_v instead
+    of b / z_v) and the z-test folds in INVERSE-z space — for covered
+    pixels iz = sum(b * iz_v) > 0 strictly (all verts in front, b >= 0,
+    sum(b) = 1), so `iz_k > izbuf` with izbuf init 0 is order-equivalent
+    to `1/iz_k < zbuf` with zbuf init inf and keeps the same first-win
+    tie semantics as the XLA path's argmin. The perspective division
+    happens once per tile at finalization instead of once per face
+    group: VPU divides are many-cycle, and this loop is the whole
+    kernel."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    X = (j * tw + jax.lax.broadcasted_iota(
+        jnp.int32, (1, th, tw), 2)).astype(jnp.float32)
+    Y = (i * th + jax.lax.broadcasted_iota(
+        jnp.int32, (1, th, tw), 1)).astype(jnp.float32)
+
+    izb_ref[0] = jnp.zeros((th, tw), jnp.float32)
+    fi_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+    bb_ref[0] = jnp.zeros((3, th, tw), jnp.float32)
+
+    count = counts_ref[i * ntx + j]
+    ng = (count + (GROUP - 1)) // GROUP
+
+    live_k = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+
+    def group_step(g, carry):
+        a = attr_ref[0, g]                               # (GROUP, 16)
+
+        def col(idx):
+            return jnp.reshape(a[:, idx:idx + 1], (GROUP, 1, 1))
+
+        x0, y0, x1, y1, x2, y2 = (col(c) for c in range(6))
+        iz0, iz1, iz2 = col(6), col(7), col(8)          # 1/z per vertex
+        fr = jnp.reshape(a[:, 9:10], (GROUP,)).astype(jnp.int32)
+        live = (g * GROUP + live_k) < count             # prefix validity
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        w0 = (x2 - x1) * (Y - y1) - (y2 - y1) * (X - x1)  # (GROUP, th, tw)
+        w1 = (x0 - x2) * (Y - y2) - (y0 - y2) * (X - x2)
+        w2 = (x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0)
+        s = jnp.sign(area)
+        cover = ((w0 * s >= 0) & (w1 * s >= 0) & (w2 * s >= 0)
+                 & (jnp.abs(area) > 1e-8)
+                 & live)
+        inv_area = s / jnp.maximum(jnp.abs(area), 1e-8)  # (GROUP, 1, 1)
+        b0, b1, b2 = w0 * inv_area, w1 * inv_area, w2 * inv_area
+        q0, q1, q2 = b0 * iz0, b1 * iz1, b2 * iz2
+        iz = jnp.where(cover, q0 + q1 + q2, 0.0)        # > 0 iff covered
+
+        izb = izb_ref[0]
+        fi = fi_ref[0]
+        bb = bb_ref[0]
+        for k in range(GROUP):
+            win = iz[k] > izb                           # nearer in 1/z
+            izb = jnp.where(win, iz[k], izb)
+            fi = jnp.where(win, fr[k], fi)
+            pb = jnp.stack([q0[k], q1[k], q2[k]], 0)
+            bb = jnp.where(jnp.expand_dims(win, 0), pb, bb)
+        izb_ref[0] = izb
+        fi_ref[0] = fi
+        bb_ref[0] = bb
+        return carry
+
+    jax.lax.fori_loop(0, ng, group_step, 0)
+
+    # finalize: back to z space; bary = q * z_win (perspective-correct)
+    izb = izb_ref[0]
+    hit = izb > 0
+    zw = 1.0 / jnp.maximum(izb, 1e-37)
+    izb_ref[0] = jnp.where(hit, zw, jnp.inf)
+    bb_ref[0] = bb_ref[0] * jnp.expand_dims(jnp.where(hit, zw, 0.0), 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "focal_length", "center", "img_hw", "th", "tw", "faces_per_tile",
+    "span", "near", "interpret"))
+def _rasterize_pallas_jit(verts_cam, faces, focal_length, center, img_hw,
+                          th, tw, faces_per_tile, span, near, interpret):
+    H, W = img_hw
+    z = verts_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > near, z, near)
+    u = focal_length * verts_cam[:, 0] / safe_z + center[0]
+    v = focal_length * verts_cam[:, 1] / safe_z + center[1]
+    pix = jnp.stack([u, v], axis=-1)
+    tri = pix[faces]                                     # (F, 3, 2)
+    tz = z[faces]                                        # (F, 3)
+    ok = jnp.all(tz > near, axis=1)
+
+    # a tile can never hold more entries than the whole scatter produced
+    n_entries = span * span * faces.shape[0]
+    faces_per_tile = min(faces_per_tile,
+                         -(-n_entries // GROUP) * GROUP)
+    tbl_face, _, counts, nty, ntx = bin_faces(
+        tri, tz, ok, img_hw, th, tw, faces_per_tile, span)
+    T, K = tbl_face.shape
+    Kp = -(-K // GROUP) * GROUP
+    n_groups = Kp // GROUP
+    tbl_face = jnp.pad(tbl_face, ((0, 0), (0, Kp - K)))
+
+    # one (F, 16) row per face, then ONE fused (T, K', 16) gather; the
+    # face id rides along as an exact-in-f32 column (col 9) and validity
+    # is prefix-implicit via counts, so no second gather / concat at
+    # (T, K') scale is ever materialized.
+    F = faces.shape[0]
+    attr_face = jnp.concatenate([
+        tri.reshape(F, 6),                               # x0 y0 x1 y1 x2 y2
+        1.0 / tz,                                        # 1/z per vertex
+        jnp.arange(F, dtype=jnp.float32)[:, None],       # face id
+        jnp.zeros((F, 6), jnp.float32),
+    ], axis=-1)                                          # (F, 16)
+    attr = attr_face[tbl_face].reshape(T, n_groups, GROUP, 16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((1, n_groups, GROUP, 16),
+                         lambda i, j, *_: (i * ntx + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i, j, *_: (i * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j, *_: (i * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw),
+                         lambda i, j, *_: (i * ntx + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    zt, ft, bt = pl.pallas_call(
+        functools.partial(_raster_kernel, th=th, tw=tw, ntx=ntx),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((T, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((T, 3, th, tw), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(counts, attr)
+
+    def untile(a, extra=()):                             # (T, th, tw[, c])
+        a = a.reshape((nty, ntx, th, tw) + extra)
+        a = jnp.swapaxes(a, 1, 2).reshape((nty * th, ntx * tw) + extra)
+        return a[:H, :W]
+
+    bary = untile(bt.transpose(0, 2, 3, 1), extra=(3,))
+    return untile(zt), untile(ft), bary
+
+
+def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
+                               focal_length: float,
+                               center: Tuple[float, float],
+                               img_hw: Tuple[int, int], th: int = 32,
+                               tw: int = 128, faces_per_tile: int = 4096,
+                               span: int = 2, near: float = 1e-3,
+                               interpret: bool = False
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Same contract as render/mesh.py:rasterize_triangles(_binned):
+    returns (zbuf (H, W) f32 inf-empty, fidx (H, W) i32 -1-empty,
+    bary (H, W, 3) perspective-correct weights of the winning face).
+
+    Limits match the binned version: faces spanning more than `span`
+    tiles per axis only rasterize into their bbox's corner/edge tiles
+    (rectangular (th, tw) tiles — the 128-wide lane-aligned tile spans
+    more columns than the XLA version's 64 px square, so wide faces clip
+    later), and tiles with more than `faces_per_tile` bbox entries drop
+    the overflow."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    return _rasterize_pallas_jit(verts_cam, faces, float(focal_length),
+                                 (float(center[0]), float(center[1])),
+                                 (int(img_hw[0]), int(img_hw[1])), th, tw,
+                                 faces_per_tile, span, float(near),
+                                 interpret)
+
+
+def raster_pallas_available() -> bool:
+    """True when the Pallas rasterizer can run compiled (TPU backend).
+    NEMO_TPU_RASTER=xla forces the XLA binned path for A/B checks."""
+    if os.environ.get("NEMO_TPU_RASTER", "") == "xla":
+        return False
+    return _HAS_PALLAS and jax.default_backend() == "tpu"

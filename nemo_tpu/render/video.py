@@ -91,7 +91,7 @@ def _load_frame(path: str, img_hw) -> Optional[np.ndarray]:
 def render_mesh_video(out_path: str, verts: np.ndarray, faces: np.ndarray,
                       cameras, bundle, fps: float = 30.0,
                       max_views: int = 4, every: int = 1,
-                      method: str = "splat") -> str:
+                      method: str = "auto") -> str:
     """SMPL-mesh rollout video: the reference's render_video('end') surface
     (render_utils.py:90-145 driving hmr/renderer.py:88-181).
 
