@@ -198,9 +198,10 @@ def _rasterize_pallas_jit(verts_cam, faces, focal_length, center, img_hw,
     ok = jnp.all(tz > near, axis=1)
 
     # a tile can never hold more entries than the whole scatter produced
+    # (floor of GROUP keeps the block shapes non-empty for tiny meshes)
     n_entries = span * span * faces.shape[0]
     faces_per_tile = min(faces_per_tile,
-                         -(-n_entries // GROUP) * GROUP)
+                         max(GROUP, -(-n_entries // GROUP) * GROUP))
     tbl_face, _, counts, nty, ntx = bin_faces(
         tri, tz, ok, img_hw, th, tw, faces_per_tile, span)
     T, K = tbl_face.shape
