@@ -280,7 +280,8 @@ def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
     (rectangular (th, tw) tiles — the 128-wide lane-aligned tile spans
     more columns than the XLA version's 64 px square, so wide faces clip
     later), and tiles with more than `faces_per_tile` bbox entries drop
-    the overflow."""
+    the overflow. Face ids ride the attribute gather as f32 (exact up to
+    2^24 = 16.7M faces)."""
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
     return _rasterize_pallas_jit(verts_cam, faces, float(focal_length),
                                  (float(center[0]), float(center[1])),

@@ -481,11 +481,9 @@ def render_global_overlay(path: str, gt_trans: np.ndarray,
 
 
 def _imsave(path: str, img: np.ndarray) -> None:
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
     os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
-    plt.imsave(path, np.clip(img, 0.0, 1.0))
+    from .video import _write_png
+    _write_png(path, img)
 
 
 # ---------------------------------------------------------------------------

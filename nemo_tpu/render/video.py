@@ -70,6 +70,22 @@ def render_overlay_video(out_path: str, pts2d_pred: np.ndarray, bundle,
     return out_path
 
 
+def _write_png(path: str, img: np.ndarray) -> None:
+    """Fast float[0,1]->PNG writer: PIL from uint8 at low compression is
+    several times faster than plt.imsave for the wide hconcat strips the
+    mesh videos produce (the reference's renderer writes through
+    matplotlib figures, render_utils.py:90-145 — offline cost only)."""
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    try:
+        from PIL import Image
+        Image.fromarray(arr).save(path, compress_level=1)
+    except Exception:                                    # pragma: no cover
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.imsave(path, arr)
+
+
 def _load_frame(path: str, img_hw) -> Optional[np.ndarray]:
     """Read one video frame as float [0,1] (H, W, 3), resized by crop/pad to
     the bundle's (D0, D1) if needed; None when unreadable."""
@@ -130,11 +146,7 @@ def render_mesh_video(out_path: str, verts: np.ndarray, faces: np.ndarray,
                     (H, W), method=method)
                 panels.append(np.asarray(panel))
             strip = np.concatenate(panels, axis=1)   # hconcat views
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            plt.imsave(osp.join(tmp, f"{out_idx:06d}.png"),
-                       np.clip(strip, 0, 1))
+            _write_png(osp.join(tmp, f"{out_idx:06d}.png"), strip)
             out_idx += 1
         try:
             frames_to_video(tmp, out_path, fps=fps)
