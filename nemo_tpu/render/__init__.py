@@ -5,6 +5,7 @@ from .keypoints import (OP25_EDGES, draw_skeleton,
                         render_keypoint_rollout, render_loss_curves,
                         render_per_joint_keypoint_frames, render_phase_plot)
 from .mesh import (blue_spectrum, checkerboard_plane, combine_meshes,
+                   composite_panel, make_mesh_panel_fn,
                    raster_render, rasterize_triangles, render_mesh_overlay,
                    render_pretty, splat_render, upsample_faces,
                    vertex_normals)
@@ -26,6 +27,7 @@ __all__ = ["OP25_EDGES", "draw_skeleton", "render_eval_grid",
            "render_loss_curves", "render_per_joint_keypoint_frames",
            "render_phase_plot",
            "blue_spectrum", "checkerboard_plane", "combine_meshes",
+           "composite_panel", "make_mesh_panel_fn",
            "raster_render", "rasterize_triangles", "render_mesh_overlay",
            "render_pretty", "splat_render", "upsample_faces",
            "vertex_normals",

@@ -395,36 +395,87 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     Pallas tile kernel when a TPU backend is up — ~10 ms/frame for the
     full SMPL at 480x640 — else splat).
     """
+    img, mask = _panel_device(verts_world, faces,
+                              camera.rotation, camera.translation,
+                              float(camera.focal_length),
+                              (float(camera.center[0]),
+                               float(camera.center[1])),
+                              img_hw, _resolve_method(method), base_color,
+                              light_dir, samples_per_face)
+    return composite_panel(np.asarray(img), np.asarray(mask), image,
+                           img_hw, alpha)
+
+
+def _resolve_method(method: str) -> str:
     if method == "auto":
         from ..ops.raster_pallas import raster_pallas_available
-        method = "raster" if raster_pallas_available() else "splat"
-    H, W = img_hw
-    R, t = camera.rotation, camera.translation
-    verts_cam = verts_world @ R.T + t
+        return "raster" if raster_pallas_available() else "splat"
+    return method
 
+
+def _panel_device(verts_world, faces, R, t, focal_length, center, img_hw,
+                  method, base_color, light_dir, samples_per_face):
+    """Device half of render_mesh_overlay: world->camera transform,
+    diffuse vertex shading, z-buffered render. Pure jnp — callable under
+    an outer jit (make_mesh_panel_fn batches many of these per
+    dispatch)."""
+    H, W = img_hw
+    verts_cam = verts_world @ R.T + t
     n = vertex_normals(verts_cam, faces)
     l = jnp.asarray(light_dir)
     l = l / jnp.linalg.norm(l)
     diffuse = jnp.clip(-(n @ l), 0.2, 1.0)[:, None]
     colors = diffuse * jnp.asarray(base_color)
-
-    cx, cy = float(camera.center[0]), float(camera.center[1])
     if method == "raster" and len(faces):
-        img, mask = raster_render(verts_cam, colors, faces,
-                                  float(camera.focal_length), (cx, cy),
-                                  (H, W))
-    else:
-        if samples_per_face > 0 and len(faces):
-            verts_cam, colors = upsample_faces(verts_cam, colors, faces,
-                                               samples_per_face)
-        img, mask = splat_render(verts_cam, colors,
-                                 float(camera.focal_length), (cx, cy),
-                                 (H, W))
+        return raster_render(verts_cam, colors, faces, focal_length,
+                             center, (H, W))
+    if samples_per_face > 0 and len(faces):
+        verts_cam, colors = upsample_faces(verts_cam, colors, faces,
+                                           samples_per_face)
+    return splat_render(verts_cam, colors, focal_length, center, (H, W))
+
+
+def composite_panel(img: np.ndarray, mask: np.ndarray,
+                    image: Optional[np.ndarray], img_hw: Tuple[int, int],
+                    alpha: float = 0.9) -> np.ndarray:
+    """Host half: alpha-composite a rendered (img, mask) over a frame."""
+    H, W = img_hw
     if image is None:
         image = np.ones((H, W, 3), np.float32)
-    out = (np.asarray(img) * np.asarray(mask)[..., None] * alpha
-           + np.asarray(image) * (1 - alpha * np.asarray(mask)[..., None]))
+    out = (img * mask[..., None] * alpha
+           + np.asarray(image) * (1 - alpha * mask[..., None]))
     return out.astype(np.float32)
+
+
+def make_mesh_panel_fn(faces: np.ndarray, cameras, img_hw: Tuple[int, int],
+                       base_color=(0.65, 0.74, 0.86),
+                       light_dir=(0.0, -0.4, -1.0),
+                       samples_per_face: int = 8, method: str = "auto"):
+    """One compiled program rendering ALL views' panels per call.
+
+    render_mesh_video renders views x frames panels; per-panel dispatch
+    pays the host->device round trip every panel (~25 ms through the
+    axon tunnel — more than the render itself on TPU). This returns a
+    jitted fn (verts_stack (N, V, 3), R_stack (N, 3, 3),
+    t_stack (N, 3)) -> (imgs (N, H, W, 3), masks (N, H, W)) with each
+    view's (static) intrinsics baked in, so a whole frame's views cost
+    one dispatch. Compiles once per (N, V, method, img_hw) shape."""
+    method = _resolve_method(method)
+    intr = [(float(c.focal_length),
+             (float(c.center[0]), float(c.center[1]))) for c in cameras]
+
+    @jax.jit
+    def panels(verts_stack, R_stack, t_stack):
+        imgs, masks = [], []
+        for i, (foc, ctr) in enumerate(intr):
+            img, mask = _panel_device(
+                verts_stack[i], faces, R_stack[i], t_stack[i], foc, ctr,
+                img_hw, method, base_color, light_dir, samples_per_face)
+            imgs.append(img)
+            masks.append(mask)
+        return jnp.stack(imgs), jnp.stack(masks)
+
+    return panels
 
 
 # ---------------------------------------------------------------------------

@@ -129,22 +129,30 @@ def render_mesh_video(out_path: str, verts: np.ndarray, faces: np.ndarray,
     H, W = int(bundle.img_d0), int(bundle.img_d1)
     frame_paths = getattr(bundle, "frame_paths", None)
 
-    from .mesh import render_mesh_overlay
+    from .mesh import composite_panel, make_mesh_panel_fn
     import jax.numpy as jnp
+
+    # one compiled program renders all V views of a frame per dispatch
+    # (per-panel calls pay the host->device round trip V x F times)
+    panel_fn = make_mesh_panel_fn(faces, cameras[:V], (H, W),
+                                  method=method)
+    R_stack = jnp.stack([cameras[v].rotation for v in range(V)])
+    t_stack = jnp.stack([cameras[v].translation for v in range(V)])
 
     os.makedirs(osp.dirname(osp.abspath(out_path)), exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         out_idx = 0
         for f in range(0, F, max(every, 1)):
+            imgs, masks = panel_fn(jnp.asarray(verts[:V, f]), R_stack,
+                                   t_stack)
+            imgs, masks = np.asarray(imgs), np.asarray(masks)
             panels = []
             for v in range(V):
                 image = None
                 if frame_paths is not None:
                     image = _load_frame(str(frame_paths[v][f]), (H, W))
-                panel = render_mesh_overlay(
-                    jnp.asarray(verts[v, f]), faces, cameras[v], image,
-                    (H, W), method=method)
-                panels.append(np.asarray(panel))
+                panels.append(composite_panel(imgs[v], masks[v], image,
+                                              (H, W)))
             strip = np.concatenate(panels, axis=1)   # hconcat views
             _write_png(osp.join(tmp, f"{out_idx:06d}.png"), strip)
             out_idx += 1

@@ -742,3 +742,32 @@ class TestWorldRollouts:
         b2 = dc.replace(b, glamr_orient=None)
         with pytest.raises(ValueError, match="GLAMR"):
             render_glamr_rollout(str(tmp_path / "x.png"), model, b2)
+
+
+def test_panel_fn_matches_overlay(rng):
+    """make_mesh_panel_fn (one dispatch for all views) reproduces
+    render_mesh_overlay panel-by-panel: same device math, batched."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.render import (composite_panel, make_mesh_panel_fn,
+                                 render_mesh_overlay)
+
+    model = synthetic_smpl_model(num_vertices=250, seed=2)
+    hw = (48, 64)
+    cams = [Camera(rotation=jnp.eye(3),
+                   translation=jnp.array([0.0, 0.0, 6.0 + v]),
+                   focal_length=jnp.asarray(400.0 + 50 * v),
+                   center=jnp.array([32.0, 24.0]))
+            for v in range(2)]
+    verts = np.stack([np.asarray(model.v_template) + 0.05 * v
+                      for v in range(2)]).astype(np.float32)
+
+    panel_fn = make_mesh_panel_fn(model.faces, cams, hw)
+    imgs, masks = panel_fn(jnp.asarray(verts),
+                           jnp.stack([c.rotation for c in cams]),
+                           jnp.stack([c.translation for c in cams]))
+    for v in range(2):
+        want = render_mesh_overlay(jnp.asarray(verts[v]), model.faces,
+                                   cams[v], None, hw)
+        got = composite_panel(np.asarray(imgs[v]), np.asarray(masks[v]),
+                              None, hw)
+        np.testing.assert_allclose(got, want, atol=1e-5)
