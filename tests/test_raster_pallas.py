@@ -107,3 +107,22 @@ def test_pallas_count_bounded_fold(rng):
     np.testing.assert_allclose(z1[cov], z2[cov], rtol=1e-5)
     # untouched region: strictly empty
     assert (np.asarray(f2)[~cov] == -1).all()
+
+
+def test_pallas_tiny_mesh(rng):
+    """Meshes smaller than one face group exercise the GROUP capacity
+    floor: K clamps to 8 with 2 live entries, rest masked by count."""
+    verts = np.array([[0, 0, 4.0], [0.5, 0, 4.0], [0, 0.5, 4.0],
+                      [-0.5, 0, 5.0], [0, -0.5, 5.0], [-0.5, -0.5, 5.0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    args = (jnp.asarray(verts), faces, 100.0, (32.0, 32.0), (64, 64))
+    z1, f1, _ = rasterize_triangles(*args, patch=64)
+    z2, f2, _ = rasterize_triangles_pallas(*args, th=32, tw=32,
+                                           interpret=True)
+    z1, z2 = np.asarray(z1), np.asarray(z2)
+    cov = np.isfinite(z1)
+    assert cov.any() and set(np.unique(np.asarray(f1)[cov])) == {0, 1}
+    np.testing.assert_array_equal(cov, np.isfinite(z2))
+    np.testing.assert_allclose(z1[cov], z2[cov], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(f1)[cov], np.asarray(f2)[cov])
