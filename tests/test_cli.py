@@ -418,3 +418,33 @@ class TestVideoToolCLI:
         out = capsys.readouterr().out.strip().splitlines()[0]
         assert os.path.join("videos", "tennis_swing.0.mp4") in out
         assert os.path.join("exps", "tennis_swing.0.frames") in out
+
+
+class TestDoctor:
+    def test_doctor_ready_on_openpose_layout(self, raw_action, capsys):
+        """PASS per-view OpenPose, WARN on the optional pieces, exit 0."""
+        from nemo_tpu.cli.doctor import main
+        cfg, _ = raw_action
+        rc = main(["--nemo_cfg_path", cfg])
+        out = capsys.readouterr().out
+        assert rc == 0 and "READY" in out
+        assert out.count("OpenPose") == 2 and "FAIL" not in out
+        assert "WARN" in out          # GT/VIBE/frames are absent
+
+    def test_doctor_fails_on_missing_view(self, raw_action, tmp_path,
+                                          capsys):
+        import yaml
+        from nemo_tpu.cli.doctor import main
+        cfg_path, _ = raw_action
+        with open(cfg_path) as f:
+            cfg = yaml.safe_load(f)
+        cfg["videos"]["names"].append("ghost.mp4")
+        bad = tmp_path / "bad.yml"
+        bad.write_text(yaml.safe_dump(cfg))
+        rc = main(["--nemo_cfg_path", str(bad)])
+        out = capsys.readouterr().out
+        assert rc == 1 and "NOT READY" in out and "ghost" in out
+
+    def test_doctor_no_args_prints_help(self, capsys):
+        from nemo_tpu.cli.doctor import main
+        assert main([]) == 2
