@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--smpl_path", type=str, default="")
     p.add_argument("--min_track_len", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
+    p.add_argument("--render_out", type=str, default="",
+                   help="also render the tracked SMPL over every frame "
+                        "(VIBE/demo2.py renders unless --no_render); "
+                        "writes an mp4, or a .frames dir without ffmpeg")
     return p
 
 
@@ -73,6 +77,71 @@ def detections_from_openpose(op_dir: str, num_frames: int):
         dets.append(np.array([[cx - size / 2, cy - size / 2,
                                cx + size / 2, cy + size / 2]], np.float32))
     return dets
+
+
+def render_demo_video(frames, people, smpl, out_path: str,
+                      chunk: int = 8) -> str:
+    """Render each tracked person's predicted SMPL over its covered
+    frames — the reference demo's default output video (VIBE/demo2.py:
+    262-315 through lib/utils/renderer.py's WeakPerspectiveCamera).
+
+    orig_cam rides the exact weak->perspective twin
+    (geometry/camera.py:camera_from_weak_persp); frames are chunked
+    through one compiled panel program so the whole video costs
+    ceil(T/chunk) dispatches per person. People composite sequentially
+    per frame (the reference also renders person-over-person)."""
+    import jax.numpy as jnp
+    from ..body.smpl import smpl_forward
+    from ..data.video import frames_to_video
+    from ..geometry.camera import Camera, camera_from_weak_persp
+    from ..render.mesh import composite_panel, make_mesh_panel_fn
+    from ..render.video import _write_png
+
+    H, W = frames[0].shape[:2]
+    canvas = [np.asarray(f, np.float32) / 255.0 for f in frames]
+    for pid, p in people.items():
+        pose = np.asarray(p["pose"], np.float32)         # (T, 72)
+        betas = np.asarray(p["betas"], np.float32).reshape(-1, 10)
+        fids = np.asarray(p["frame_ids"], np.int64)
+        cams = camera_from_weak_persp(np.asarray(p["orig_cam"]), H, W)
+        verts, _ = smpl_forward(smpl, jnp.asarray(betas.mean(0)[None]),
+                                jnp.asarray(pose[:, 3:]),
+                                jnp.asarray(pose[:, :3]), pose2rot=True)
+        verts = np.asarray(verts)                        # (T, V, 3)
+        # identical intrinsics across frames -> one panel program
+        cam0 = Camera(rotation=jnp.eye(3), translation=jnp.zeros(3),
+                      focal_length=jnp.asarray(float(cams.focal_length[0])),
+                      center=jnp.asarray(np.asarray(cams.center[0])))
+        panel_fn = make_mesh_panel_fn(smpl.faces, [cam0] * chunk, (H, W))
+        eye = jnp.broadcast_to(jnp.eye(3), (chunk, 3, 3))
+        T = len(fids)
+        for s in range(0, T, chunk):
+            idx = np.arange(s, min(s + chunk, T))
+            pad = np.pad(idx, (0, chunk - len(idx)), mode="edge")
+            imgs, masks = panel_fn(jnp.asarray(verts[pad]), eye,
+                                   jnp.asarray(
+                                       np.asarray(cams.translation)[pad]))
+            imgs, masks = np.asarray(imgs), np.asarray(masks)
+            for k, t in enumerate(idx):
+                f = int(fids[t])
+                canvas[f] = composite_panel(imgs[k], masks[k], canvas[f],
+                                            (H, W))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, img in enumerate(canvas):
+            _write_png(osp.join(tmp, f"{i:06d}.png"), img)
+        try:
+            frames_to_video(tmp, out_path)
+            if not osp.exists(out_path):
+                raise OSError("ffmpeg produced no output")
+            return out_path
+        except Exception:
+            fallback = out_path + ".frames"
+            os.makedirs(fallback, exist_ok=True)
+            import shutil
+            for name in os.listdir(tmp):
+                shutil.copy(osp.join(tmp, name), fallback)
+            return fallback
 
 
 def main(argv=None) -> int:
@@ -126,6 +195,12 @@ def main(argv=None) -> int:
     print(f"[vibe_demo] wrote {args.out} "
           f"({len(out)} people, keys: pose/betas/orig_cam/"
           f"joints2d_img_coord/frame_ids/bboxes)")
+    if args.render_out and out:
+        if smpl.faces is None:
+            print("[vibe_demo] --render_out skipped: model has no faces")
+        else:
+            dst = render_demo_video(frames, out, smpl, args.render_out)
+            print(f"[vibe_demo] rendered {dst}")
     return 0
 
 

@@ -76,6 +76,22 @@ def bbox_to_cs(bbox: np.ndarray, rescale: float = 1.1) -> np.ndarray:
     return np.array([cx, cy, size], np.float32)
 
 
+def convert_crop_cam_to_orig_img(cam: np.ndarray, bbox_cs: np.ndarray,
+                                 img_width: float, img_height: float
+                                 ) -> np.ndarray:
+    """Crop-frame weak-persp cam (s, tx, ty) -> original-image orig_cam
+    (sx, sy, tx, ty) — demo_utils.py:242-259; this 4-vector is what
+    vibe_output.pkl carries and what the weak-persp renderers and
+    camera_from_weak_persp consume."""
+    cx, cy, h = bbox_cs[:, 0], bbox_cs[:, 1], bbox_cs[:, 2]
+    hw, hh = img_width / 2.0, img_height / 2.0
+    sx = cam[:, 0] * (1.0 / (img_width / h))
+    sy = cam[:, 0] * (1.0 / (img_height / h))
+    tx = ((cx - hw) / hw / sx) + cam[:, 1]
+    ty = ((cy - hh) / hh / sy) + cam[:, 2]
+    return np.stack([sx, sy, tx, ty], axis=1).astype(np.float32)
+
+
 def run_vibe_on_tracks(frames: Sequence[np.ndarray],
                        tracks: Dict[int, Dict[str, np.ndarray]],
                        backbone, gru, head, smpl,
@@ -120,10 +136,15 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
         if smooth:
             pose = smooth_pose_sequence(pose, smooth_min_cutoff, smooth_beta)
         kp_norm = np.concatenate(results["kp_2d"])
+        H, W = frames[0].shape[:2]
         out[tid] = {
             "pose": pose,
             "betas": theta[:, 75:],
-            "orig_cam": theta[:, :3],
+            # the pkl's orig_cam is the ORIGINAL-IMAGE 4-vector weak-persp
+            # cam (demo2.py:283-288); the crop cam rides along as pred_cam
+            "pred_cam": theta[:, :3],
+            "orig_cam": convert_crop_cam_to_orig_img(theta[:, :3], bbox_cs,
+                                                     W, H),
             "joints2d_img_coord": crop_to_image_coords(bbox_cs, kp_norm,
                                                        out_res),
             "frame_ids": tr["frame_ids"],
