@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -262,13 +262,212 @@ def _rasterize_pallas_jit(verts_cam, faces, focal_length, center, img_hw,
     return untile(zt), untile(ft), bary
 
 
+CHUNK = 512        # entries per DMA in the streaming kernel (32 KB slices)
+
+
+def _raster_stream_kernel(starts_ref, counts_ref, attr_hbm, izb_ref,
+                          fi_ref, bb_ref, scratch, sems,
+                          *, th: int, tw: int, ntx: int, chunk: int):
+    """Streaming variant: the per-tile face entries stay a FLAT sorted
+    (E_pad, 128) array in HBM (16 attr lanes used; padded to 128 so DMA
+    row-slices stay tile-aligned); each program double-buffer-DMAs its
+    own [start, start+count) slice in `chunk`-row pieces (8-aligned
+    start, prefix/suffix masked by global entry index). No (T, K) table
+    is ever materialized, so there is NO faces_per_tile capacity and no
+    overflow face-dropping; prep work is O(E) instead of O(T*K).
+    Measured 8.27 vs 10.2 ms/frame (gather mode) on the SMPL bench.
+
+    Same per-group math and fold as _raster_kernel."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * ntx + j
+
+    X = (j * tw + jax.lax.broadcasted_iota(
+        jnp.int32, (1, th, tw), 2)).astype(jnp.float32)
+    Y = (i * th + jax.lax.broadcasted_iota(
+        jnp.int32, (1, th, tw), 1)).astype(jnp.float32)
+
+    izb_ref[0] = jnp.zeros((th, tw), jnp.float32)
+    fi_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+    bb_ref[0] = jnp.zeros((3, th, tw), jnp.float32)
+
+    start = starts_ref[t]
+    count = counts_ref[t]
+    start8 = (start // GROUP) * GROUP
+    total = jnp.where(count > 0, (start - start8) + count, 0)
+    n_chunks = (total + chunk - 1) // chunk
+    live_k = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(start8 + c * chunk, chunk)],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, carry):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        def group_body(g, carry2):
+            a = scratch[slot, pl.ds(g * GROUP, GROUP), 0:16]  # (GROUP, 16)
+
+            def col(idx):
+                return jnp.reshape(a[:, idx:idx + 1], (GROUP, 1, 1))
+
+            x0, y0, x1, y1, x2, y2 = (col(cc) for cc in range(6))
+            iz0, iz1, iz2 = col(6), col(7), col(8)
+            fr = jnp.reshape(a[:, 9:10], (GROUP,)).astype(jnp.int32)
+            gidx = start8 + c * chunk + g * GROUP + live_k
+            live = (gidx >= start) & (gidx < start + count)
+            area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+            w0 = (x2 - x1) * (Y - y1) - (y2 - y1) * (X - x1)
+            w1 = (x0 - x2) * (Y - y2) - (y0 - y2) * (X - x2)
+            w2 = (x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0)
+            s = jnp.sign(area)
+            cover = ((w0 * s >= 0) & (w1 * s >= 0) & (w2 * s >= 0)
+                     & (jnp.abs(area) > 1e-8)
+                     & live)
+            inv_area = s / jnp.maximum(jnp.abs(area), 1e-8)
+            b0, b1, b2 = w0 * inv_area, w1 * inv_area, w2 * inv_area
+            q0, q1, q2 = b0 * iz0, b1 * iz1, b2 * iz2
+            iz = jnp.where(cover, q0 + q1 + q2, 0.0)
+
+            izb = izb_ref[0]
+            fi = fi_ref[0]
+            bb = bb_ref[0]
+            for k in range(GROUP):
+                win = iz[k] > izb
+                izb = jnp.where(win, iz[k], izb)
+                fi = jnp.where(win, fr[k], fi)
+                pb = jnp.stack([q0[k], q1[k], q2[k]], 0)
+                bb = jnp.where(jnp.expand_dims(win, 0), pb, bb)
+            izb_ref[0] = izb
+            fi_ref[0] = fi
+            bb_ref[0] = bb
+            return carry2
+
+        jax.lax.fori_loop(0, chunk // GROUP, group_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    izb = izb_ref[0]
+    hit = izb > 0
+    zw = 1.0 / jnp.maximum(izb, 1e-37)
+    izb_ref[0] = jnp.where(hit, zw, jnp.inf)
+    bb_ref[0] = bb_ref[0] * jnp.expand_dims(jnp.where(hit, zw, 0.0), 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "focal_length", "center", "img_hw", "th", "tw", "span", "near",
+    "interpret"))
+def _rasterize_stream_jit(verts_cam, faces, focal_length, center, img_hw,
+                          th, tw, span, near, interpret):
+    H, W = img_hw
+    F = faces.shape[0]
+    z = verts_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > near, z, near)
+    u = focal_length * verts_cam[:, 0] / safe_z + center[0]
+    v = focal_length * verts_cam[:, 1] / safe_z + center[1]
+    pix = jnp.stack([u, v], axis=-1)
+    tri = pix[faces]
+    tz = z[faces]
+    ok = jnp.all(tz > near, axis=1)
+
+    nty, ntx = -(-H // th), -(-W // tw)
+    T = nty * ntx
+    fx0 = jnp.clip(jnp.floor(tri[:, :, 0].min(1) / tw), 0, ntx - 1)
+    fx1 = jnp.clip(jnp.floor(tri[:, :, 0].max(1) / tw), 0, ntx - 1)
+    fy0 = jnp.clip(jnp.floor(tri[:, :, 1].min(1) / th), 0, nty - 1)
+    fy1 = jnp.clip(jnp.floor(tri[:, :, 1].max(1) / th), 0, nty - 1)
+    entries, eface = [], []
+    fids = jnp.arange(F, dtype=jnp.int32)
+    for dy in range(span):
+        for dx in range(span):
+            ty = jnp.minimum(fy0 + dy, fy1)
+            tx = jnp.minimum(fx0 + dx, fx1)
+            tid = (ty * ntx + tx).astype(jnp.int32)
+            entries.append(jnp.where(ok, tid, T))
+            eface.append(fids)
+    tile_ids = jnp.concatenate(entries)
+    face_ids = jnp.concatenate(eface)
+    order = jnp.argsort(tile_ids)
+    sorted_tid = tile_ids[order]
+    starts = jnp.searchsorted(sorted_tid, jnp.arange(T)).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tid, jnp.arange(T),
+                            side='right').astype(jnp.int32)
+    counts = ends - starts                               # NO capacity cap
+
+    attr_face = jnp.concatenate([
+        tri.reshape(F, 6),
+        1.0 / tz,
+        jnp.arange(F, dtype=jnp.float32)[:, None],
+        jnp.zeros((F, 6), jnp.float32),
+    ], axis=-1)                                          # (F, 16)
+    attr_sorted = attr_face[face_ids[order]]             # (E, 16) — O(E)
+    E = attr_sorted.shape[0]
+    pad = (-(-E // GROUP) * GROUP - E) + CHUNK
+    # pad the attr lanes to a full 128 so HBM DMA row-slices stay
+    # tile-aligned (Mosaic requires 128-multiple minor extents on DMA)
+    attr_sorted = jnp.pad(attr_sorted, ((0, pad), (0, 128 - 16)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i, j, *_: (i * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j, *_: (i * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw),
+                         lambda i, j, *_: (i * ntx + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    zt, ft, bt = pl.pallas_call(
+        functools.partial(_raster_stream_kernel, th=th, tw=tw, ntx=ntx,
+                          chunk=CHUNK),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((T, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((T, 3, th, tw), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(starts, counts, attr_sorted)
+
+    def untile(a, extra=()):
+        a = a.reshape((nty, ntx, th, tw) + extra)
+        a = jnp.swapaxes(a, 1, 2).reshape((nty * th, ntx * tw) + extra)
+        return a[:H, :W]
+
+    bary = untile(bt.transpose(0, 2, 3, 1), extra=(3,))
+    return untile(zt), untile(ft), bary
+
+
 def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
                                focal_length: float,
                                center: Tuple[float, float],
                                img_hw: Tuple[int, int], th: int = 32,
                                tw: int = 128, faces_per_tile: int = 4096,
                                span: int = 2, near: float = 1e-3,
-                               interpret: bool = False
+                               interpret: bool = False,
+                               stream: Optional[bool] = None
                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                           jnp.ndarray]:
     """Same contract as render/mesh.py:rasterize_triangles(_binned):
@@ -279,10 +478,23 @@ def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
     tiles per axis only rasterize into their bbox's corner/edge tiles
     (rectangular (th, tw) tiles — the 128-wide lane-aligned tile spans
     more columns than the XLA version's 64 px square, so wide faces clip
-    later), and tiles with more than `faces_per_tile` bbox entries drop
-    the overflow. Face ids ride the attribute gather as f32 (exact up to
-    2^24 = 16.7M faces)."""
+    later), and in the gather mode tiles with more than `faces_per_tile`
+    bbox entries drop the overflow. Face ids ride the attributes as f32
+    (exact up to 2^24 = 16.7M faces).
+
+    stream=True (default, NEMO_TPU_RASTER=gather reverts) uses the
+    manual-DMA kernel: per-tile entries stream from a flat sorted HBM
+    array, prep is O(E) instead of O(T*K), and there is NO capacity cap
+    (no overflow dropping). Both modes produce identical output given no
+    overflow."""
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    if stream is None:
+        stream = os.environ.get("NEMO_TPU_RASTER", "stream") != "gather"
+    if stream:
+        return _rasterize_stream_jit(verts_cam, faces, float(focal_length),
+                                     (float(center[0]), float(center[1])),
+                                     (int(img_hw[0]), int(img_hw[1])),
+                                     th, tw, span, float(near), interpret)
     return _rasterize_pallas_jit(verts_cam, faces, float(focal_length),
                                  (float(center[0]), float(center[1])),
                                  (int(img_hw[0]), int(img_hw[1])), th, tw,

@@ -6,6 +6,7 @@ is exercised by scripts/bench_raster.py on hardware.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nemo_tpu.ops.raster_pallas import rasterize_triangles_pallas
 from nemo_tpu.render.mesh import (rasterize_triangles,
@@ -23,7 +24,8 @@ def random_mesh(rng, F=120):
     return jnp.asarray(verts), faces
 
 
-def test_pallas_matches_binned(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pallas_matches_binned(rng, stream):
     """With identical square tiles the face tables and fold order match
     rasterize_triangles_binned exactly; values agree to float ulps (the
     expressions are op-for-op identical but the compiler contracts
@@ -36,7 +38,7 @@ def test_pallas_matches_binned(rng):
                                             faces_per_tile=512, chunk=64)
     z2, f2, b2 = rasterize_triangles_pallas(*args, th=32, tw=32,
                                             faces_per_tile=512,
-                                            interpret=True)
+                                            interpret=True, stream=stream)
     z1, z2 = np.asarray(z1), np.asarray(z2)
     cov = np.isfinite(z1)
     np.testing.assert_array_equal(cov, np.isfinite(z2))
@@ -47,7 +49,8 @@ def test_pallas_matches_binned(rng):
                                atol=1e-5)
 
 
-def test_pallas_lane_tiles_match_scan(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pallas_lane_tiles_match_scan(rng, stream):
     """At the TPU-native (32, 128) tile shape the candidate sets per pixel
     still cover every face, so winners match the scan rasterizer up to
     depth ties (same tolerance contract as the binned-vs-scan test)."""
@@ -57,7 +60,7 @@ def test_pallas_lane_tiles_match_scan(rng):
     z1, f1, b1 = rasterize_triangles(*args, patch=96)
     z2, f2, b2 = rasterize_triangles_pallas(*args, th=32, tw=128,
                                             faces_per_tile=512,
-                                            interpret=True)
+                                            interpret=True, stream=stream)
     z1, z2 = np.asarray(z1), np.asarray(z2)
     cov1, cov2 = np.isfinite(z1), np.isfinite(z2)
     np.testing.assert_array_equal(cov1, cov2)
@@ -68,20 +71,22 @@ def test_pallas_lane_tiles_match_scan(rng):
                                np.asarray(b2)[same & cov1], atol=1e-4)
 
 
-def test_pallas_empty_and_behind(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pallas_empty_and_behind(rng, stream):
     """Faces behind the near plane are excluded in binning; tiles with
     zero entries run zero fold iterations and keep their init values."""
     verts = np.array([[0, 0, -1.0], [1, 0, -1.0], [0, 1, -1.0]],
                      np.float32)
     z, f, b = rasterize_triangles_pallas(
         jnp.asarray(verts), np.array([[0, 1, 2]]), 100.0, (32.0, 32.0),
-        (64, 64), th=32, tw=32, faces_per_tile=8, interpret=True)
+        (64, 64), th=32, tw=32, faces_per_tile=8, interpret=True, stream=stream)
     assert not np.isfinite(np.asarray(z)).any()
     assert (np.asarray(f) == -1).all()
     assert (np.asarray(b) == 0).all()
 
 
-def test_pallas_count_bounded_fold(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pallas_count_bounded_fold(rng, stream):
     """A mesh confined to one tile: every other tile's count is 0, so the
     dynamic loop bound must leave their buffers untouched while the busy
     tile still rasterizes correctly (vs the scan oracle)."""
@@ -99,7 +104,7 @@ def test_pallas_count_bounded_fold(rng):
     z1, f1, _ = rasterize_triangles(*args, patch=64)
     z2, f2, _ = rasterize_triangles_pallas(*args, th=32, tw=128,
                                            faces_per_tile=256,
-                                           interpret=True)
+                                           interpret=True, stream=stream)
     z1, z2 = np.asarray(z1), np.asarray(z2)
     cov = np.isfinite(z1)
     assert cov.any()
@@ -109,7 +114,8 @@ def test_pallas_count_bounded_fold(rng):
     assert (np.asarray(f2)[~cov] == -1).all()
 
 
-def test_pallas_tiny_mesh(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pallas_tiny_mesh(rng, stream):
     """Meshes smaller than one face group exercise the GROUP capacity
     floor: K clamps to 8 with 2 live entries, rest masked by count."""
     verts = np.array([[0, 0, 4.0], [0.5, 0, 4.0], [0, 0.5, 4.0],
@@ -119,7 +125,7 @@ def test_pallas_tiny_mesh(rng):
     args = (jnp.asarray(verts), faces, 100.0, (32.0, 32.0), (64, 64))
     z1, f1, _ = rasterize_triangles(*args, patch=64)
     z2, f2, _ = rasterize_triangles_pallas(*args, th=32, tw=32,
-                                           interpret=True)
+                                           interpret=True, stream=stream)
     z1, z2 = np.asarray(z1), np.asarray(z2)
     cov = np.isfinite(z1)
     assert cov.any() and set(np.unique(np.asarray(f1)[cov])) == {0, 1}
