@@ -448,3 +448,45 @@ class TestDoctor:
     def test_doctor_no_args_prints_help(self, capsys):
         from nemo_tpu.cli.doctor import main
         assert main([]) == 2
+
+
+class TestDoctorAssets:
+    def test_doctor_asset_roundtrip(self, tmp_path, rng, capsys):
+        """Write synthetic SMPL (smplx npz layout) + SPIN-format GMM pkl,
+        then doctor must PASS both through the real loaders."""
+        import pickle
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.cli.doctor import main
+
+        m = synthetic_smpl_model(num_vertices=200, seed=3)
+        V = m.num_vertices
+        kintree = np.stack([np.asarray(m.parents),
+                            np.arange(len(m.parents))])
+        smpl_path = tmp_path / "SMPL_NEUTRAL.npz"
+        np.savez(smpl_path,
+                 v_template=np.asarray(m.v_template),
+                 shapedirs=np.asarray(m.shapedirs),
+                 posedirs=np.asarray(m.posedirs).T.reshape(V, 3, 207),
+                 J_regressor=np.asarray(m.J_regressor),
+                 weights=np.asarray(m.lbs_weights),
+                 kintree_table=kintree, f=np.asarray(m.faces))
+        A = 0.1 * rng.randn(8, 69, 69)
+        covs = np.einsum('mij,mkj->mik', A, A) + 0.5 * np.eye(69)
+        gmm_path = tmp_path / "gmm_08.pkl"
+        with open(gmm_path, "wb") as f:
+            pickle.dump({"means": 0.3 * rng.randn(8, 69),
+                         "covars": covs,
+                         "weights": rng.dirichlet(np.ones(8))}, f)
+        rc = main(["--smpl_path", str(smpl_path),
+                   "--gmm_path", str(gmm_path)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "READY" in out and "FAIL" not in out
+        assert "200 verts" in out and "8 components" in out
+
+    def test_doctor_fails_on_malformed_asset(self, tmp_path, capsys):
+        from nemo_tpu.cli.doctor import main
+        bad = tmp_path / "SMPL_NEUTRAL.npz"
+        np.savez(bad, nonsense=np.zeros(3))
+        rc = main(["--smpl_path", str(bad)])
+        out = capsys.readouterr().out
+        assert rc == 1 and "NOT READY" in out
