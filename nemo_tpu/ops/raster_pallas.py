@@ -275,7 +275,9 @@ def _raster_stream_kernel(starts_ref, counts_ref, attr_hbm, izb_ref,
     start, prefix/suffix masked by global entry index). No (T, K) table
     is ever materialized, so there is NO faces_per_tile capacity and no
     overflow face-dropping; prep work is O(E) instead of O(T*K).
-    Measured 8.27 vs 10.2 ms/frame (gather mode) on the SMPL bench.
+    Measured 6.24 vs 10.2 ms/frame (gather mode) on the SMPL bench
+    (count-bounded group folds make the chunk size nearly irrelevant:
+    256/512/1024 all within 6.1-6.2).
 
     Same per-group math and fold as _raster_kernel."""
     i = pl.program_id(0)
@@ -354,7 +356,12 @@ def _raster_stream_kernel(starts_ref, counts_ref, attr_hbm, izb_ref,
             bb_ref[0] = bb
             return carry2
 
-        jax.lax.fori_loop(0, chunk // GROUP, group_body, 0)
+        # only fold groups that can hold live entries of THIS tile: the
+        # last chunk (and small tiles) stop early instead of masking
+        # through the full chunk
+        n_g = jnp.clip((total - c * chunk + GROUP - 1) // GROUP,
+                       0, chunk // GROUP)
+        jax.lax.fori_loop(0, n_g, group_body, 0)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)

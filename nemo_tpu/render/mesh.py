@@ -347,7 +347,7 @@ def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
 
     On a TPU backend the z-buffer pass runs the Pallas tile-parallel
     kernel (ops/raster_pallas.py — VMEM-resident tiles, streaming-DMA
-    face tables; measured 8.27 vs 81.4 ms/frame for the binned XLA
+    face tables; measured 6.24 vs 81.0 ms/frame for the binned XLA
     rasterizer, full SMPL at 480x640, dispatch-amortized on v5e);
     elsewhere the scan rasterizer (kept as the CPU/test oracle).
     NEMO_TPU_RASTER=xla forces the scan path.
@@ -393,7 +393,7 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     image: (H, W, 3) float [0,1] or None for a white background.
     method: "splat" (fast point splatting), "raster" (triangle
     rasterizer — pyrender-quality surfaces), or "auto" (raster via the
-    Pallas tile kernel when a TPU backend is up — ~8 ms/frame for the
+    Pallas tile kernel when a TPU backend is up — ~6 ms/frame for the
     full SMPL at 480x640 — else splat).
     """
     img, mask = _panel_device(verts_world, faces,

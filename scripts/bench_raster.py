@@ -8,9 +8,9 @@ single-call timings measure the tunnel, not the rasterizer (CLAUDE.md's
 microbenchmark rule). Offline-rendering throughput only — the fit step
 never rasterizes.
 
-Reference points (v5e, N=8): pallas 8.27 ms/frame (streaming-DMA
-default; 10.2 in gather mode at the no-overflow faces_per_tile=4096),
-binned 81.4, scan 94.1.
+Reference points (v5e, N=8): pallas 6.24 ms/frame (streaming-DMA
+default with count-bounded folds; 10.2 in gather mode at the
+no-overflow faces_per_tile=4096), binned 81.0, scan 94.2.
 
   python scripts/bench_raster.py [--iters 5] [--frames 8] [--hw 480x640]
 """
