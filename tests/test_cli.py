@@ -490,3 +490,18 @@ class TestDoctorAssets:
         rc = main(["--smpl_path", str(bad)])
         out = capsys.readouterr().out
         assert rc == 1 and "NOT READY" in out
+
+
+def test_fit_cli_dp8_full_batch(tmp_path):
+    """--dp 8 --full_batch combine: the sharded main stage must accept the
+    fixed (V x F)-grid steps (custom-entry mode on a mesh)."""
+    from nemo_tpu.cli.fit import main as fit_main
+    rc = fit_main([
+        "--synthetic_assets", "--label_type", "gt",
+        "--model_version", "1", "--h_dim", "8",
+        "--instance_code_size", "0", "--monotonic_network_n_nodes", "3",
+        "--batch_size", "8", "--n_steps", "4", "--warmup_step", "2",
+        "--opt_cam_step", "2", "--weight_gmm_loss", "0",
+        "--save_every", "4", "--full_batch", "--dp", "8",
+        "--out_dir", str(tmp_path)])
+    assert rc == 0
