@@ -339,7 +339,8 @@ def rasterize_triangles_binned(verts_cam: jnp.ndarray, faces: np.ndarray,
 def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
                   faces: np.ndarray, focal_length: float,
                   center: Tuple[float, float], img_hw: Tuple[int, int],
-                  patch: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  patch: int = 32, span: int = 2
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Surface-rasterized render: (H, W, 3) image + coverage mask.
 
     Same signature contract as splat_render but draws filled triangles with
@@ -351,12 +352,18 @@ def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
     rasterizer, full SMPL at 480x640, dispatch-amortized on v5e);
     elsewhere the scan rasterizer (kept as the CPU/test oracle).
     NEMO_TPU_RASTER=xla forces the scan path.
+
+    patch / span are the per-face window limits of the two backends
+    (scan clips faces to patch x patch px; the tile kernels only bin a
+    face into span tiles per axis). Faces larger than these clip —
+    callers with big faces (e.g. the checkerboard ground plane) size
+    them via face_window_params.
     """
     from ..ops.raster_pallas import (raster_pallas_available,
                                      rasterize_triangles_pallas)
     if raster_pallas_available():
         zbuf, fidx, bary = rasterize_triangles_pallas(
-            verts_cam, faces, focal_length, center, img_hw)
+            verts_cam, faces, focal_length, center, img_hw, span=span)
     else:
         zbuf, fidx, bary = rasterize_triangles(
             verts_cam, faces, focal_length, center, img_hw, patch=patch)
@@ -365,6 +372,33 @@ def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
     pix_c = jnp.einsum('hwk,hwkc->hwc', bary, tri_c[fid])
     mask = (fidx >= 0).astype(jnp.float32)
     return pix_c * mask[..., None], mask
+
+
+def face_window_params(verts_cam: np.ndarray, faces: np.ndarray,
+                       focal_length: float, center: Tuple[float, float],
+                       img_hw: Tuple[int, int], near: float = 1e-3
+                       ) -> Tuple[int, int]:
+    """(patch, span) sized so the largest face's screen bbox fits the
+    rasterizers' per-face windows (host-side numpy; callers with
+    concrete vertices and large faces — the checkerboard ground plane
+    spans hundreds of px — compute these before raster_render; the
+    defaults only cover SMPL-sized faces)."""
+    H, W = img_hw
+    v = np.asarray(verts_cam, np.float32)
+    z = np.where(np.abs(v[:, 2]) > near, v[:, 2], near)
+    u = focal_length * v[:, 0] / z + center[0]
+    w = focal_length * v[:, 1] / z + center[1]
+    pix = np.stack([np.clip(u, -W, 2 * W), np.clip(w, -H, 2 * H)], -1)
+    tri = pix[np.asarray(faces)]                         # (F, 3, 2)
+    ok = (v[:, 2][np.asarray(faces)] > near).all(1)
+    if not ok.any():
+        return 32, 2
+    ext = float((tri[ok].max(1) - tri[ok].min(1)).max())
+    patch = int(np.clip(1 << int(np.ceil(np.log2(max(ext, 1) + 2))),
+                        32, max(32, min(H, W))))
+    # the Pallas tiles are (32, 128): the row axis is the binding one
+    span = int(np.clip(np.ceil(ext / 32) + 1, 2, 12))
+    return patch, span
 
 
 def combine_meshes(verts_list, faces_list):
@@ -495,29 +529,36 @@ def blue_spectrum(n: int) -> np.ndarray:
 
 
 def checkerboard_plane(plane_width: float = 4.0, num_boxes: int = 9,
-                       y: float = 0.0):
+                       y: float = 0.0, subdiv: int = 4):
     """A flat checkerboard ground mesh in the x-z plane at height y.
 
     Software-rasterizer equivalent of get_checkerboard_plane
     (pretty_renderer.py:19-41): num_boxes^2 tiles alternating
     white (220) / black (35). Returns (verts (N, 3), faces (F, 3) int,
     colors (N, 3) float [0,1]) ready for raster_render.
+
+    Each checker quad is tessellated subdiv x subdiv so its faces stay
+    within the rasterizers' per-face windows (a whole 0.5-1 m quad can
+    project to hundreds of px — see raster_render's patch/span limits).
     """
     pw = plane_width / num_boxes
     white = np.array([220, 220, 220], np.float32) / 255.0
     black = np.array([35, 35, 35], np.float32) / 255.0
+    sw = pw / subdiv
     verts, faces, colors = [], [], []
     for i in range(num_boxes):
         for j in range(num_boxes):
-            x0 = i * pw - plane_width / 2
-            z0 = j * pw - plane_width / 2
-            base = len(verts)
-            verts += [[x0, y, z0], [x0 + pw, y, z0],
-                      [x0 + pw, y, z0 + pw], [x0, y, z0 + pw]]
-            faces += [[base, base + 1, base + 2],
-                      [base, base + 2, base + 3]]
             c = black if (i + j) % 2 == 0 else white
-            colors += [c] * 4
+            for si in range(subdiv):
+                for sj in range(subdiv):
+                    x0 = i * pw + si * sw - plane_width / 2
+                    z0 = j * pw + sj * sw - plane_width / 2
+                    base = len(verts)
+                    verts += [[x0, y, z0], [x0 + sw, y, z0],
+                              [x0 + sw, y, z0 + sw], [x0, y, z0 + sw]]
+                    faces += [[base, base + 1, base + 2],
+                              [base, base + 2, base + 3]]
+                    colors += [c] * 4
     return (jnp.asarray(np.array(verts, np.float32)),
             np.array(faces, np.int64),
             jnp.asarray(np.stack(colors)))
@@ -569,8 +610,12 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
     colors = jnp.concatenate(all_c)
     faces_all = np.concatenate(all_f)
     cx, cy = float(camera.center[0]), float(camera.center[1])
+    patch, span = face_window_params(
+        np.asarray(verts), faces_all, float(camera.focal_length),
+        (cx, cy), (H, W))
     img, mask = raster_render(verts, colors, faces_all,
-                              float(camera.focal_length), (cx, cy), (H, W))
+                              float(camera.focal_length), (cx, cy), (H, W),
+                              patch=patch, span=span)
     if image is None:
         image = np.ones((H, W, 3), np.float32)
     m = np.asarray(mask)[..., None]

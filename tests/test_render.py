@@ -279,9 +279,10 @@ class TestPrettyRenderer:
 
     def test_checkerboard_plane(self):
         from nemo_tpu.render import checkerboard_plane
-        v, f, c = checkerboard_plane(plane_width=4.0, num_boxes=3, y=1.5)
-        assert v.shape == (3 * 3 * 4, 3)
-        assert f.shape == (3 * 3 * 2, 3)
+        v, f, c = checkerboard_plane(plane_width=4.0, num_boxes=3, y=1.5,
+                                     subdiv=2)
+        assert v.shape == (3 * 3 * 2 * 2 * 4, 3)   # subdiv^2 quads/tile
+        assert f.shape == (3 * 3 * 2 * 2 * 2, 3)
         assert np.allclose(np.asarray(v)[:, 1], 1.5)
         # alternating tiles: both colors present
         cs = np.unique(np.round(np.asarray(c)[:, 0], 3))
@@ -771,3 +772,26 @@ def test_panel_fn_matches_overlay(rng):
         got = composite_panel(np.asarray(imgs[v]), np.asarray(masks[v]),
                               None, hw)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pretty_ground_plane_covers_width(rng):
+    """Large checker quads used to clip to the rasterizer's per-face
+    window (scan patch / binning span): with the tessellated plane and
+    face_window_params sizing, the ground must show both checker shades
+    across the full image width."""
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.render import render_pretty
+
+    model = synthetic_smpl_model(num_vertices=200, seed=0)
+    verts = jnp.asarray(np.asarray(model.v_template)
+                        + np.array([0, 0, 4.0], np.float32))
+    cam = Camera(rotation=jnp.eye(3), translation=jnp.zeros(3),
+                 focal_length=jnp.asarray(200.0),
+                 center=jnp.asarray([128.0, 32.0]))
+    img = render_pretty([verts], model.faces, cam, (96, 256),
+                        ground_width=12.0)
+    lum = img.mean(-1)
+    bottom = lum[64:]                     # ground-dominated rows
+    for cols in (slice(0, 85), slice(85, 170), slice(170, 256)):
+        seg = bottom[:, cols]
+        assert (seg < 0.3).any() and (seg > 0.7).any(), cols
