@@ -13,7 +13,8 @@ from .humor_eval import humor_eval_metrics
 from .humor_fit import MotionOptConfig, humor_motion_fit
 from .vibe_train import (VibeLossWeights, compute_accel,
                          compute_error_accel, evaluate_vibe,
-                         init_motion_discriminator, init_vibe_train_state,
+                         init_motion_discriminator, init_self_attention,
+                         init_vibe_train_state, self_attention,
                          make_discriminator_train_step, make_vibe_train_step,
                          motion_discriminator, vibe_discriminator_loss,
                          vibe_generator_loss, vibe_predict,
@@ -36,7 +37,8 @@ __all__ = [
     "init_vibe_train_state", "make_vibe_train_step", "vibe_predict",
     "vibe_trainer_fit",
     "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
-    "VibeLossWeights", "init_motion_discriminator",
+    "VibeLossWeights", "init_motion_discriminator", "init_self_attention",
+    "self_attention",
     "make_discriminator_train_step", "motion_discriminator",
     "vibe_discriminator_loss", "vibe_generator_loss",
 ]

@@ -28,34 +28,117 @@ from .vibe import Params, gru_cell, init_gru
 # motion discriminator
 # ---------------------------------------------------------------------------
 
+def init_self_attention(key, attention_size: int = 1024,
+                        layers: int = 1) -> Params:
+    """SelfAttention pool parameters (VIBE/lib/models/attention.py:25-53).
+
+    `layers - 1` (Linear size->size, tanh, dropout) blocks followed by a
+    final (Linear size->1, tanh, dropout); weights init uniform(-0.1, 0.1),
+    biases 0.01 (init_weights, attention.py:20-23).
+    """
+    keys = jax.random.split(key, layers)
+    mlp = []
+    for i in range(layers):
+        out = attention_size if i < layers - 1 else 1
+        mlp.append({
+            "w": jax.random.uniform(keys[i], (attention_size, out),
+                                    minval=-0.1, maxval=0.1),
+            "b": jnp.full((out,), 0.01),
+        })
+    return {"mlp": tuple(mlp)}
+
+
+def _dropout(x, rate, rng):
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def self_attention(p: Params, inputs: jnp.ndarray, dropout: float = 0.0,
+                   rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Learned per-frame softmax pooling (attention.py:55-78).
+
+    inputs: (B, T, H) -> ((B, H) weighted sum, (B, T) attention weights).
+    Dropout follows each tanh like the reference's nn.Dropout modules
+    (train-time only: pass a PRNG key and rate > 0).
+    """
+    x = inputs
+    for layer in p["mlp"]:
+        x = jnp.tanh(x @ layer["w"] + layer["b"])
+        if dropout > 0.0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = _dropout(x, dropout, sub)
+    scores = jax.nn.softmax(x[..., 0], axis=-1)               # (B, T)
+    return jnp.einsum('bth,bt->bh', inputs, scores), scores
+
+
 def init_motion_discriminator(key, input_size: int = 69,
                               rnn_size: int = 1024,
-                              output_size: int = 2) -> Params:
-    k1, k2, k3 = jax.random.split(key, 3)
-    s = 1.0 / np.sqrt(2 * rnn_size)
-    return {
+                              output_size: int = 2,
+                              feature_pool: str = "concat",
+                              num_layers: int = 1,
+                              attention_size: int = 1024,
+                              attention_layers: int = 1) -> Params:
+    """MotionDiscriminator parameters (motion_discriminator.py:25-56).
+
+    feature_pool 'concat' (avg+max over relu'd GRU outputs) or 'attention'
+    (the SelfAttention pool both shipped training configs use,
+    VIBE/configs/config.yaml:44). num_layers stacks GRU layers like
+    torch.nn.GRU(num_layers=) — the shipped configs use 2 (:43).
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    linear_size = 2 * rnn_size if feature_pool == "concat" else rnn_size
+    s = 1.0 / np.sqrt(linear_size)
+    p = {
         "gru": init_gru(k1, input_size, rnn_size),
-        "fc_w": jax.random.uniform(k2, (2 * rnn_size, output_size),
+        "fc_w": jax.random.uniform(k2, (linear_size, output_size),
                                    minval=-s, maxval=s),
         "fc_b": jax.random.uniform(k3, (output_size,), minval=-s, maxval=s),
     }
+    if num_layers > 1:
+        p["gru_extra"] = tuple(
+            init_gru(k, rnn_size, rnn_size)
+            for k in jax.random.split(k4, num_layers - 1))
+    if feature_pool == "attention":
+        if attention_size != rnn_size:
+            raise ValueError(
+                "the attention MLP consumes GRU outputs directly, so "
+                f"attention_size ({attention_size}) must equal rnn_size "
+                f"({rnn_size}) — same constraint as the reference")
+        p["att"] = init_self_attention(k5, attention_size, attention_layers)
+    elif feature_pool != "concat":
+        raise ValueError(f"unknown feature_pool {feature_pool!r}")
+    return p
 
 
-def motion_discriminator(p: Params, seq: jnp.ndarray) -> jnp.ndarray:
+def _gru_outputs(p: Params, seq: jnp.ndarray) -> jnp.ndarray:
+    """Run the (possibly stacked) discriminator GRU: (B, T, D) -> (B, T, H)."""
+    B = seq.shape[0]
+    xs = jnp.swapaxes(seq, 0, 1)                              # (T, B, D)
+    for layer in (p["gru"],) + tuple(p.get("gru_extra", ())):
+        h0 = jnp.zeros((B, layer["w_hh"].shape[0]))
+
+        def step(h, x_t, _layer=layer):
+            h = gru_cell(_layer, x_t, h)
+            return h, h
+
+        _, xs = jax.lax.scan(step, h0, xs)                    # (T, B, H)
+    return jnp.swapaxes(xs, 0, 1)                             # (B, T, H)
+
+
+def motion_discriminator(p: Params, seq: jnp.ndarray, dropout: float = 0.0,
+                         rng=None) -> jnp.ndarray:
     """(B, T, D) pose sequences -> (B, 2) real/fake logits.
 
-    'concat' feature pool: relu(GRU outputs), then avg+max pool over time
-    (motion_discriminator.py:58-71).
+    'concat' pool: relu(GRU outputs), then avg+max pool over time
+    (motion_discriminator.py:67-71). 'attention' pool (selected by the
+    presence of the 'att' params): SelfAttention softmax-weighted sum of the
+    raw GRU outputs (:72-75 — note no relu on this path).
     """
-    B, T, D = seq.shape
-    h0 = jnp.zeros((B, p["gru"]["w_hh"].shape[0]))
-
-    def step(h, x_t):
-        h = gru_cell(p["gru"], x_t, h)
-        return h, h
-
-    _, ys = jax.lax.scan(step, h0, jnp.swapaxes(seq, 0, 1))  # (T, B, H)
-    ys = jax.nn.relu(jnp.swapaxes(ys, 0, 1))                 # (B, T, H)
+    ys = _gru_outputs(p, seq)                                 # (B, T, H)
+    if "att" in p:
+        y, _scores = self_attention(p["att"], ys, dropout, rng)
+        return y @ p["fc_w"] + p["fc_b"]
+    ys = jax.nn.relu(ys)
     pooled = jnp.concatenate([ys.mean(axis=1), ys.max(axis=1)], axis=1)
     return pooled @ p["fc_w"] + p["fc_b"]
 
@@ -77,7 +160,8 @@ class VibeLossWeights:
 def vibe_generator_loss(pred: Dict[str, jnp.ndarray],
                         target: Dict[str, jnp.ndarray],
                         disc_params: Optional[Params],
-                        w: VibeLossWeights = VibeLossWeights()
+                        w: VibeLossWeights = VibeLossWeights(),
+                        disc_dropout: float = 0.0, rng=None
                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Supervised keypoint/SMPL losses + adversarial generator term.
 
@@ -115,7 +199,8 @@ def vibe_generator_loss(pred: Dict[str, jnp.ndarray],
         loss += w.pose * lpose + w.shape * lshape
 
     if disc_params is not None:
-        logits = motion_discriminator(disc_params, pred["pose_body_seq"])
+        logits = motion_discriminator(disc_params, pred["pose_body_seq"],
+                                      disc_dropout, rng)
         # generator wants the discriminator to label it real (index 1)
         ladv = ((logits[:, 0]) ** 2 + (logits[:, 1] - 1.0) ** 2).mean()
         metrics["loss_adv"] = ladv
@@ -126,23 +211,31 @@ def vibe_generator_loss(pred: Dict[str, jnp.ndarray],
 
 
 def vibe_discriminator_loss(disc_params: Params, real_seq: jnp.ndarray,
-                            fake_seq: jnp.ndarray) -> jnp.ndarray:
+                            fake_seq: jnp.ndarray, dropout: float = 0.0,
+                            rng=None) -> jnp.ndarray:
     """LSGAN discriminator objective over pose sequences."""
-    real_logits = motion_discriminator(disc_params, real_seq)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    real_logits = motion_discriminator(disc_params, real_seq, dropout, r1)
     fake_logits = motion_discriminator(disc_params,
-                                       jax.lax.stop_gradient(fake_seq))
+                                       jax.lax.stop_gradient(fake_seq),
+                                       dropout, r2)
     l_real = ((real_logits[:, 1] - 1.0) ** 2 + real_logits[:, 0] ** 2).mean()
     l_fake = ((fake_logits[:, 0] - 1.0) ** 2 + fake_logits[:, 1] ** 2).mean()
     return l_real + l_fake
 
 
-def make_discriminator_train_step(lr: float = 1e-4):
+def make_discriminator_train_step(lr: float = 1e-4, dropout: float = 0.0):
+    """dropout: attention-pool score dropout rate at train time (the shipped
+    configs use 0.5, config.yaml:47 ATT.DROPOUT default); pass a PRNG key
+    per step to activate it."""
     opt = optax.adam(lr)
 
     @jax.jit
-    def step(disc_params, opt_state, real_seq, fake_seq):
+    def step(disc_params, opt_state, real_seq, fake_seq, rng=None):
         loss, g = jax.value_and_grad(vibe_discriminator_loss)(
-            disc_params, real_seq, fake_seq)
+            disc_params, real_seq, fake_seq, dropout, rng)
         upd, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(disc_params, upd), opt_state, loss
 
@@ -163,15 +256,26 @@ _SPIN_TO_COMMON = np.array(
 
 def init_vibe_train_state(key, smpl, gen_lr: float = 5e-5,
                           disc_lr: float = 1e-4,
-                          feat_size: int = 2048):
+                          feat_size: int = 2048,
+                          feature_pool: str = "concat",
+                          disc_num_layers: int = 1,
+                          attention_size: int = 1024,
+                          attention_layers: int = 1):
     """Params + optimizer states for generator (GRU + SPIN head) and
-    motion discriminator (Trainer.__init__'s get_optimizer pair)."""
+    motion discriminator (Trainer.__init__'s get_optimizer pair).
+
+    feature_pool/disc_num_layers/attention_*: discriminator architecture
+    knobs; the shipped reference training configs use
+    feature_pool='attention', num_layers=2, attention 1024x3
+    (VIBE/configs/config.yaml:37-47)."""
     from .hmr import init_hmr_head
 
     k1, k2, k3 = jax.random.split(key, 3)
     gen_params = {"gru": init_gru(k1, feat_size, feat_size),
                   "head": init_hmr_head(k2, feat_dim=feat_size)}
-    disc_params = init_motion_discriminator(k3)
+    disc_params = init_motion_discriminator(
+        k3, feature_pool=feature_pool, num_layers=disc_num_layers,
+        attention_size=attention_size, attention_layers=attention_layers)
     gen_opt = optax.adam(gen_lr)
     disc_opt = optax.adam(disc_lr)
     return {
@@ -205,7 +309,8 @@ def vibe_predict(gen_params: Params, smpl, feats: jnp.ndarray,
 
 
 def make_vibe_train_step(smpl, w: VibeLossWeights = VibeLossWeights(),
-                         gen_lr: float = 5e-5, n_iter: int = 3):
+                         gen_lr: float = 5e-5, n_iter: int = 3,
+                         disc_dropout: float = 0.0):
     """One jitted program per batch: generator update (supervised +
     adversarial) then discriminator update on AMASS-real vs the fresh
     fake motion (Trainer.train's two backprops, trainer.py:117-247).
@@ -218,23 +323,28 @@ def make_vibe_train_step(smpl, w: VibeLossWeights = VibeLossWeights(),
     gen_opt = optax.adam(gen_lr)
     disc_opt = optax.adam(w.disc_motion_lr)
 
-    def gen_loss_fn(gen_params, disc_params, batch):
+    def gen_loss_fn(gen_params, disc_params, batch, rng):
         pred = vibe_predict(gen_params, smpl, batch["features"], n_iter)
         target = {k: batch[k] for k in
                   ("kp_2d", "kp_3d", "pose", "betas", "has_3d", "has_smpl")
                   if k in batch}
-        loss, metrics = vibe_generator_loss(pred, target, disc_params, w)
+        loss, metrics = vibe_generator_loss(pred, target, disc_params, w,
+                                            disc_dropout, rng)
         return loss, (metrics, pred["pose_body_seq"])
 
     @jax.jit
-    def step(state, batch, real_motion):
+    def step(state, batch, real_motion, rng=None):
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
         (_, (metrics, fake_seq)), g = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(state["gen"], state["disc"], batch)
+            gen_loss_fn, has_aux=True)(state["gen"], state["disc"], batch,
+                                       r1)
         upd, gen_opt_state = gen_opt.update(g, state["gen_opt"])
         gen_params = optax.apply_updates(state["gen"], upd)
 
         d_loss, dg = jax.value_and_grad(vibe_discriminator_loss)(
-            state["disc"], real_motion, fake_seq)
+            state["disc"], real_motion, fake_seq, disc_dropout, r2)
         dupd, disc_opt_state = disc_opt.update(dg, state["disc_opt"])
         disc_params = optax.apply_updates(state["disc"], dupd)
         metrics = dict(metrics, d_m_disc_loss=d_loss)

@@ -241,3 +241,54 @@ def test_fit_many_seeds_with_vposer(rng):
     out = fit_many_seeds(cfg, assets, num_seeds=2, steps=3)
     assert out["losses"].shape == (2, 3)
     assert np.isfinite(out["losses"]).all()
+
+
+def test_vibe_train_step_dp_sharded_attention_pool(rng):
+    """dp-sharded VIBE train step with the attention feature pool active
+    (the shipped reference training configs' discriminator,
+    VIBE/configs/config.yaml:37-47: attention pool, stacked GRU)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nemo_tpu.body import synthetic_smpl_model
+    from nemo_tpu.models.vibe_train import (init_motion_discriminator,
+                                            init_vibe_train_state,
+                                            make_vibe_train_step)
+
+    feat, B, T = 16, 8, 4
+    smpl = synthetic_smpl_model(num_vertices=96, seed=0)
+    state, _ = init_vibe_train_state(jax.random.PRNGKey(0), smpl,
+                                     feat_size=feat,
+                                     feature_pool="attention",
+                                     disc_num_layers=2,
+                                     attention_size=1024,
+                                     attention_layers=3)
+    # shrink the discriminator for CPU, keeping the attention architecture
+    state["disc"] = init_motion_discriminator(
+        jax.random.PRNGKey(1), rnn_size=16, feature_pool="attention",
+        num_layers=2, attention_size=16, attention_layers=3)
+    state["disc_opt"] = optax.adam(1e-4).init(state["disc"])
+    step = make_vibe_train_step(smpl)
+    batch = {
+        "features": jnp.asarray(rng.randn(B, T, feat).astype(np.float32)),
+        "kp_2d": jnp.asarray(rng.randn(B, T, 49, 3).astype(np.float32)),
+        "pose": jnp.asarray(0.2 * rng.randn(B, T, 72).astype(np.float32)),
+        "betas": jnp.asarray(rng.randn(B, T, 10).astype(np.float32)),
+        "has_smpl": jnp.ones((B, T)),
+    }
+    real = jnp.asarray(0.2 * rng.randn(B, T, 69).astype(np.float32))
+
+    ref_state, ref_metrics = step(state, batch, real)
+
+    mesh = make_mesh(8)
+    bat = NamedSharding(mesh, P("dp"))
+    state_r = replicate_tree(mesh, state)
+    batch_s = {k: jax.device_put(v, bat) for k, v in batch.items()}
+    real_s = jax.device_put(real, bat)
+    out_state, metrics = step(state_r, batch_s, real_s)
+
+    np.testing.assert_allclose(float(metrics["loss_total"]),
+                               float(ref_metrics["loss_total"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(out_state["disc"])[0]
+    b = jax.tree_util.tree_leaves(ref_state["disc"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -436,3 +436,106 @@ class TestLBSOracle:
             jnp.asarray(pose[:, :3]), pose2rot=True, want_vertices=False)
         _close(j49_fused, np.asarray(j49_full), atol=2e-5,
                what="fused joints-only path vs full-vertex path")
+
+
+# ---------------------------------------------------------------------------
+# VIBE motion discriminator (VIBE/lib/models/{attention,motion_discriminator})
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_motion_disc():
+    """Load the reference SelfAttention + MotionDiscriminator by file path
+    (VIBE/lib has no importable package root here; lib.models.__init__ pulls
+    the full model zoo, so the two leaf files are loaded directly with the
+    attention module pre-registered under its package name)."""
+    import importlib.util
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    for pkg in ("lib", "lib.models"):
+        if pkg not in sys.modules:
+            sys.modules[pkg] = types.ModuleType(pkg)
+    att = load("lib.models.attention",
+               REFERENCE_ROOT + "/VIBE/lib/models/attention.py")
+    sys.modules["lib.models"].attention = att
+    md = load("ref_motion_discriminator",
+              REFERENCE_ROOT + "/VIBE/lib/models/motion_discriminator.py")
+    return types.SimpleNamespace(attention=att, motion_discriminator=md)
+
+
+def _convert_motion_disc(net, num_layers):
+    """torch MotionDiscriminator state -> repo param pytree."""
+    import jax
+
+    def gru_layer(l):
+        sd = net.gru.state_dict()
+        return {
+            "w_ih": jnp.asarray(sd[f"weight_ih_l{l}"].numpy().T),
+            "w_hh": jnp.asarray(sd[f"weight_hh_l{l}"].numpy().T),
+            "b_ih": jnp.asarray(sd[f"bias_ih_l{l}"].numpy()),
+            "b_hh": jnp.asarray(sd[f"bias_hh_l{l}"].numpy()),
+        }
+
+    p = {"gru": gru_layer(0),
+         "fc_w": jnp.asarray(net.fc.weight.detach().numpy().T),
+         "fc_b": jnp.asarray(net.fc.bias.detach().numpy())}
+    if num_layers > 1:
+        p["gru_extra"] = tuple(gru_layer(l) for l in range(1, num_layers))
+    if hasattr(net, "attention"):
+        linears = [m for m in net.attention.attention
+                   if isinstance(m, torch.nn.Linear)]
+        p["att"] = {"mlp": tuple(
+            {"w": jnp.asarray(m.weight.detach().numpy().T),
+             "b": jnp.asarray(m.bias.detach().numpy())} for m in linears)}
+    return p
+
+
+class TestMotionDiscriminatorOracle:
+    @pytest.mark.parametrize("feature_pool,num_layers,att_layers", [
+        ("concat", 1, 0),
+        ("attention", 1, 1),
+        ("attention", 2, 3),   # the shipped config: NUM_LAYERS 2, ATT 3
+    ])
+    def test_forward_parity(self, ref_motion_disc, rng, feature_pool,
+                            num_layers, att_layers):
+        from nemo_tpu.models import motion_discriminator
+
+        torch.manual_seed(0)
+        H = 48
+        net = ref_motion_disc.motion_discriminator.MotionDiscriminator(
+            rnn_size=H, input_size=69, num_layers=num_layers,
+            output_size=2, feature_pool=feature_pool,
+            attention_size=H, attention_layers=att_layers,
+            attention_dropout=0.5)
+        net.eval()  # dropout off for the deterministic oracle
+
+        p = _convert_motion_disc(net, num_layers)
+        if feature_pool == "attention":
+            assert len(p["att"]["mlp"]) == att_layers
+
+        seq = (0.4 * rng.randn(5, 12, 69)).astype(np.float32)
+        with torch.no_grad():
+            want = net(_t(seq))
+        ours = motion_discriminator(p, jnp.asarray(seq))
+        _close(ours, want, atol=1e-5,
+               what=f"motion_discriminator {feature_pool} x{num_layers}")
+
+    def test_attention_scores_sum_to_one_and_dropout_path(self, rng):
+        from nemo_tpu.models import init_self_attention, self_attention
+        import jax
+
+        p = init_self_attention(jax.random.PRNGKey(0), 32, layers=2)
+        x = jnp.asarray(rng.randn(4, 9, 32).astype(np.float32))
+        y, scores = self_attention(p, x)
+        np.testing.assert_allclose(np.asarray(scores.sum(-1)), 1.0,
+                                   atol=1e-6)
+        assert y.shape == (4, 32)
+        # train-mode dropout is stochastic but finite and differentiable
+        yd, _ = self_attention(p, x, dropout=0.5,
+                               rng=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(yd)).all()
