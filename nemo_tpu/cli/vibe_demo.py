@@ -37,10 +37,24 @@ def build_parser():
     p.add_argument("--smpl_path", type=str, default="")
     p.add_argument("--min_track_len", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
+    p.add_argument("--out_res", type=int, default=224,
+                   help="crop resolution fed to the backbone (224 in the "
+                        "reference; smaller for smoke runs)")
     p.add_argument("--render_out", type=str, default="",
                    help="also render the tracked SMPL over every frame "
                         "(VIBE/demo2.py renders unless --no_render); "
                         "writes an mp4, or a .frames dir without ffmpeg")
+    p.add_argument("--run_smplify", action="store_true",
+                   help="refine each track with TemporalSMPLify "
+                        "(VIBE/demo2.py:209-245); needs --openpose_dir "
+                        "for the detected keypoints")
+    p.add_argument("--smplify_iters", type=int, default=1,
+                   help="outer LBFGS rounds (demo_utils.py opt_steps=1)")
+    p.add_argument("--smplify_max_iter", type=int, default=20,
+                   help="linesearch steps per round (LBFGS max_iter)")
+    p.add_argument("--gmm_path", type=str, default="",
+                   help="SPIN-format GMM prior pkl for SMPLify; "
+                        "synthetic prior if omitted")
     return p
 
 
@@ -104,7 +118,9 @@ def render_demo_video(frames, people, smpl, out_path: str,
         betas = np.asarray(p["betas"], np.float32).reshape(-1, 10)
         fids = np.asarray(p["frame_ids"], np.int64)
         cams = camera_from_weak_persp(np.asarray(p["orig_cam"]), H, W)
-        verts, _ = smpl_forward(smpl, jnp.asarray(betas.mean(0)[None]),
+        # per-frame betas, as the reference demo renders
+        # (demo2.py:299-304 builds verts from each frame's own theta)
+        verts, _ = smpl_forward(smpl, jnp.asarray(betas),
                                 jnp.asarray(pose[:, 3:]),
                                 jnp.asarray(pose[:, :3]), pose2rot=True)
         verts = np.asarray(verts)                        # (T, V, 3)
@@ -142,6 +158,59 @@ def render_demo_video(frames, people, smpl, out_path: str,
             for name in os.listdir(tmp):
                 shutil.copy(osp.join(tmp, name), fallback)
             return fallback
+
+
+def refine_with_smplify(people, op_kps, smpl, gmm, img_hw,
+                        opt_steps: int, max_iter: int,
+                        crop_size: float = 224.0):
+    """TemporalSMPLify refinement pass over every track
+    (VIBE/demo2.py:209-245 + lib/utils/demo_utils.py:91-167).
+
+    The reference feeds STAF-tracked keypoints converted to the SPIN-49
+    vocabulary; here the detected keypoints are OpenPose BODY_25, which
+    IS the first 25 slots of SPIN-49 (kp_utils.py:243-270), so the
+    conversion is a direct placement. Keypoints go image -> crop pixel
+    coords through the same smoothed bbox_cs the VIBE crops used.
+    Per-frame parameters are replaced only where the refined
+    reprojection loss improves (demo2.py:229-238)."""
+    import jax.numpy as jnp
+    from ..data.tracker import convert_crop_cam_to_orig_img
+    from ..priors.temporal_smplify import run_temporal_smplify
+
+    n_updated = n_total = 0
+    for pid, p in people.items():
+        fids = np.asarray(p["frame_ids"], np.int64)
+        cs = np.asarray(p["bbox_cs"], np.float32)        # (T, 3)
+        kp = op_kps[fids].astype(np.float32).copy()      # (T, 25, 3)
+        # image -> crop pixel coords (inverse of crop_to_image_coords)
+        half = cs[:, 2:3] / 2.0
+        kp[..., 0] = (kp[..., 0] - (cs[:, 0:1] - half)) \
+            * (crop_size / cs[:, 2:3])
+        kp[..., 1] = (kp[..., 1] - (cs[:, 1:2] - half)) \
+            * (crop_size / cs[:, 2:3])
+        kp49 = np.zeros((kp.shape[0], 49, 3), np.float32)
+        kp49[:, :25] = kp
+        out, update = run_temporal_smplify(
+            smpl, gmm, jnp.asarray(np.asarray(p["pose"], np.float32)),
+            jnp.asarray(np.asarray(p["betas"], np.float32)),
+            jnp.asarray(np.asarray(p["pred_cam"], np.float32)),
+            jnp.asarray(kp49), opt_steps=opt_steps, max_iter=max_iter)
+        upd = np.asarray(update)
+        pose = np.asarray(p["pose"]).copy()
+        betas = np.asarray(p["betas"]).copy()
+        pred_cam = np.asarray(p["pred_cam"]).copy()
+        pose[upd] = np.asarray(out["pose"])[upd]
+        betas[upd] = np.asarray(out["betas"])[None]
+        pred_cam[upd] = np.asarray(out["weak_cam"])[upd]
+        p["pose"], p["betas"], p["pred_cam"] = pose, betas, pred_cam
+        p["orig_cam"] = convert_crop_cam_to_orig_img(
+            pred_cam, cs, img_hw[1], img_hw[0])
+        n_updated += int(upd.sum())
+        n_total += len(upd)
+        p["smplify_update"] = upd
+    print(f"[vibe_demo] TemporalSMPLify updated {n_updated}/{n_total} "
+          f"frames")
+    return people
 
 
 def main(argv=None) -> int:
@@ -190,7 +259,24 @@ def main(argv=None) -> int:
         gru = init_gru(jax.random.PRNGKey(2))
 
     out = run_vibe_on_tracks(frames, tracks, backbone, gru, head, smpl,
-                             min_track_len=args.min_track_len)
+                             min_track_len=args.min_track_len,
+                             out_res=args.out_res)
+    if args.run_smplify:
+        if not args.openpose_dir:
+            # the reference warns + skips when pose tracking is absent
+            # (demo2.py:240-243)
+            print("[vibe_demo] WARNING: --run_smplify needs "
+                  "--openpose_dir keypoints; skipping refinement")
+        elif out:
+            from ..data import load_openpose_dir
+            from ..priors import load_gmm_prior, synthetic_gmm_prior
+            gmm = (load_gmm_prior(args.gmm_path) if args.gmm_path
+                   else synthetic_gmm_prior())
+            op_kps = load_openpose_dir(args.openpose_dir, len(frames))
+            out = refine_with_smplify(
+                out, np.asarray(op_kps), smpl, gmm,
+                frames[0].shape[:2], args.smplify_iters,
+                args.smplify_max_iter)
     joblib.dump(out, args.out)
     print(f"[vibe_demo] wrote {args.out} "
           f"({len(out)} people, keys: pose/betas/orig_cam/"

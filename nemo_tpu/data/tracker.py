@@ -149,6 +149,10 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
                                                        out_res),
             "frame_ids": tr["frame_ids"],
             "bboxes": tr["bboxes"],
+            # the (possibly smoothed) [cx, cy, size] crop specs actually
+            # used — TemporalSMPLify needs them to map detected keypoints
+            # into the same crop frame as pred_cam
+            "bbox_cs": bbox_cs,
         }
     return out
 

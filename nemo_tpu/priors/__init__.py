@@ -5,6 +5,10 @@ from .ik import IKConfig, ik_fit
 from .robustifiers import angle_prior, gmof
 from .smplify import (smplify_body_fitting_loss, smplify_camera_fitting_loss,
                       smplify_fit)
+from .temporal_smplify import (get_fitting_loss, run_temporal_smplify,
+                               temporal_body_fitting_loss,
+                               temporal_camera_fitting_loss,
+                               temporal_smplify_fit)
 from .vposer_train import (VPoserTrainConfig, load_amass_pose_data,
                            make_vposer_train_step, prepare_vposer_dataset,
                            train_vposer, vposer_train_loss)
@@ -23,6 +27,9 @@ __all__ = [
     "IKConfig", "ik_fit",
     "angle_prior", "gmof", "smplify_body_fitting_loss",
     "smplify_camera_fitting_loss", "smplify_fit",
+    "get_fitting_loss", "run_temporal_smplify",
+    "temporal_body_fitting_loss", "temporal_camera_fitting_loss",
+    "temporal_smplify_fit",
     "VPoserConfig", "convert_torch_state_dict",
     "init_vposer", "load_vposer", "vposer_decode", "vposer_encode",
     "vposer_kl_to_std_normal", "VPoserTrainConfig", "make_vposer_train_step", "prepare_vposer_dataset",
