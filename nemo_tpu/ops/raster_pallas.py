@@ -48,6 +48,16 @@ except Exception:  # pragma: no cover
 GROUP = 8          # faces folded per inner iteration (sublane-aligned, f32)
 
 
+def _span_yx(span) -> Tuple[int, int]:
+    """Normalize a span spec to (rows, cols) tile counts. The tiles are
+    rectangular (th=32, tw=128 by default), so a face needs ~4x more row
+    tiles than column tiles for the same pixel extent — per-axis spans
+    keep the bbox scatter from exploding quadratically."""
+    if isinstance(span, (tuple, list)):
+        return int(span[0]), int(span[1])
+    return int(span), int(span)
+
+
 def bin_faces(tri: jnp.ndarray, tz: jnp.ndarray, ok: jnp.ndarray,
               img_hw: Tuple[int, int], th: int, tw: int,
               faces_per_tile: int, span: int = 2
@@ -73,14 +83,15 @@ def bin_faces(tri: jnp.ndarray, tz: jnp.ndarray, ok: jnp.ndarray,
     fy1 = jnp.clip(jnp.floor(tri[:, :, 1].max(1) / th), 0, nty - 1)
     entries, eface = [], []
     fids = jnp.arange(F, dtype=jnp.int32)
-    for dy in range(span):
-        for dx in range(span):
+    sy, sx = _span_yx(span)
+    for dy in range(sy):
+        for dx in range(sx):
             ty = jnp.minimum(fy0 + dy, fy1)
             tx = jnp.minimum(fx0 + dx, fx1)
             tid = (ty * ntx + tx).astype(jnp.int32)
             entries.append(jnp.where(ok, tid, T))        # T = sentinel
             eface.append(fids)
-    tile_ids = jnp.concatenate(entries)                  # (span^2 F,)
+    tile_ids = jnp.concatenate(entries)                  # (sy*sx*F,)
     face_ids = jnp.concatenate(eface)
     order = jnp.argsort(tile_ids)
     sorted_ids = tile_ids[order]
@@ -88,7 +99,7 @@ def bin_faces(tri: jnp.ndarray, tz: jnp.ndarray, ok: jnp.ndarray,
     starts = jnp.searchsorted(sorted_ids, jnp.arange(T))
     ends = jnp.searchsorted(sorted_ids, jnp.arange(T), side='right')
     K = faces_per_tile
-    n_entries = span * span * F
+    n_entries = sy * sx * F
     gidx = jnp.clip(starts[:, None] + jnp.arange(K)[None], 0, n_entries - 1)
     tbl_face = sorted_face[gidx]                         # (T, K)
     tbl_valid = sorted_ids[gidx] == jnp.arange(T)[:, None]
@@ -199,7 +210,8 @@ def _rasterize_pallas_jit(verts_cam, faces, focal_length, center, img_hw,
 
     # a tile can never hold more entries than the whole scatter produced
     # (floor of GROUP keeps the block shapes non-empty for tiny meshes)
-    n_entries = span * span * faces.shape[0]
+    sy, sx = _span_yx(span)
+    n_entries = sy * sx * faces.shape[0]
     faces_per_tile = min(faces_per_tile,
                          max(GROUP, -(-n_entries // GROUP) * GROUP))
     tbl_face, _, counts, nty, ntx = bin_faces(
@@ -397,8 +409,9 @@ def _rasterize_stream_jit(verts_cam, faces, focal_length, center, img_hw,
     fy1 = jnp.clip(jnp.floor(tri[:, :, 1].max(1) / th), 0, nty - 1)
     entries, eface = [], []
     fids = jnp.arange(F, dtype=jnp.int32)
-    for dy in range(span):
-        for dx in range(span):
+    sy, sx = _span_yx(span)
+    for dy in range(sy):
+        for dx in range(sx):
             ty = jnp.minimum(fy0 + dy, fy1)
             tx = jnp.minimum(fx0 + dx, fx1)
             tid = (ty * ntx + tx).astype(jnp.int32)
@@ -485,9 +498,13 @@ def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
     tiles per axis only rasterize into their bbox's corner/edge tiles
     (rectangular (th, tw) tiles — the 128-wide lane-aligned tile spans
     more columns than the XLA version's 64 px square, so wide faces clip
-    later), and in the gather mode tiles with more than `faces_per_tile`
-    bbox entries drop the overflow. Face ids ride the attributes as f32
-    (exact up to 2^24 = 16.7M faces).
+    later). `span` may be an int or a (rows, cols) pair — per-axis spans
+    are what face_window_params emits so tall faces get row tiles without
+    paying for unneeded column tiles. In GATHER mode tiles with more than
+    `faces_per_tile` bbox entries drop the overflow SILENTLY (detectable
+    host-side via gather_mode_overflow; the default stream mode has no
+    capacity cap and is the supported production path). Face ids ride the
+    attributes as f32 (exact up to 2^24 = 16.7M faces).
 
     stream=True (default, NEMO_TPU_RASTER=gather reverts) uses the
     manual-DMA kernel: per-tile entries stream from a flat sorted HBM
@@ -495,6 +512,7 @@ def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
     (no overflow dropping). Both modes produce identical output given no
     overflow."""
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    span = _span_yx(span)              # hashable static arg for the jits
     if stream is None:
         stream = os.environ.get("NEMO_TPU_RASTER", "stream") != "gather"
     if stream:
@@ -507,6 +525,42 @@ def rasterize_triangles_pallas(verts_cam: jnp.ndarray, faces: np.ndarray,
                                  (int(img_hw[0]), int(img_hw[1])), th, tw,
                                  faces_per_tile, span, float(near),
                                  interpret)
+
+
+def gather_mode_overflow(verts_cam, faces, focal_length: float,
+                         center: Tuple[float, float],
+                         img_hw: Tuple[int, int], th: int = 32,
+                         tw: int = 128, faces_per_tile: int = 4096,
+                         span=2, near: float = 1e-3) -> int:
+    """Entries the GATHER mode (NEMO_TPU_RASTER=gather) would silently
+    drop: sum over tiles of max(0, bbox_entries - faces_per_tile).
+
+    Host-side A/B diagnostic (one device sync) — run it before trusting a
+    gather-mode comparison of a dense multi-person scene. The default
+    stream mode has no cap and never drops."""
+    H, W = img_hw
+    faces = np.asarray(faces)
+    v = np.asarray(verts_cam, np.float32)
+    z = v[:, 2]
+    safe_z = np.where(np.abs(z) > near, z, near)
+    u = focal_length * v[:, 0] / safe_z + center[0]
+    w = focal_length * v[:, 1] / safe_z + center[1]
+    tri = np.stack([u, w], -1)[faces]                    # (F, 3, 2)
+    ok = (z[faces] > near).all(1)
+    nty, ntx = -(-H // th), -(-W // tw)
+    sy, sx = _span_yx(span)
+    fx0 = np.clip(np.floor(tri[:, :, 0].min(1) / tw), 0, ntx - 1)
+    fx1 = np.clip(np.floor(tri[:, :, 0].max(1) / tw), 0, ntx - 1)
+    fy0 = np.clip(np.floor(tri[:, :, 1].min(1) / th), 0, nty - 1)
+    fy1 = np.clip(np.floor(tri[:, :, 1].max(1) / th), 0, nty - 1)
+    counts = np.zeros(nty * ntx, np.int64)
+    for dy in range(sy):
+        for dx in range(sx):
+            ty = np.minimum(fy0 + dy, fy1)
+            tx = np.minimum(fx0 + dx, fx1)
+            tid = (ty * ntx + tx).astype(np.int64)[ok]
+            np.add.at(counts, tid, 1)
+    return int(np.maximum(counts - faces_per_tile, 0).sum())
 
 
 def raster_pallas_available() -> bool:

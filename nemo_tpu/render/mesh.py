@@ -377,12 +377,14 @@ def raster_render(verts_cam: jnp.ndarray, colors: jnp.ndarray,
 def face_window_params(verts_cam: np.ndarray, faces: np.ndarray,
                        focal_length: float, center: Tuple[float, float],
                        img_hw: Tuple[int, int], near: float = 1e-3
-                       ) -> Tuple[int, int]:
-    """(patch, span) sized so the largest face's screen bbox fits the
-    rasterizers' per-face windows (host-side numpy; callers with
+                       ) -> Tuple[int, Tuple[int, int]]:
+    """(patch, (span_y, span_x)) sized so the largest face's screen bbox
+    fits the rasterizers' per-face windows (host-side numpy; callers with
     concrete vertices and large faces — the checkerboard ground plane
     spans hundreds of px — compute these before raster_render; the
-    defaults only cover SMPL-sized faces)."""
+    defaults only cover SMPL-sized faces). The spans are per-axis tile
+    counts for the Pallas (32, 128) tiles, bounded only by the image's
+    own tile grid — no face clips, whatever its size."""
     H, W = img_hw
     v = np.asarray(verts_cam, np.float32)
     z = np.where(np.abs(v[:, 2]) > near, v[:, 2], near)
@@ -392,13 +394,21 @@ def face_window_params(verts_cam: np.ndarray, faces: np.ndarray,
     tri = pix[np.asarray(faces)]                         # (F, 3, 2)
     ok = (v[:, 2][np.asarray(faces)] > near).all(1)
     if not ok.any():
-        return 32, 2
-    ext = float((tri[ok].max(1) - tri[ok].min(1)).max())
+        return 32, (2, 2)
+    ext_xy = tri[ok].max(1) - tri[ok].min(1)             # (F_ok, 2)
+    ext = float(ext_xy.max())
     patch = int(np.clip(1 << int(np.ceil(np.log2(max(ext, 1) + 2))),
                         32, max(32, min(H, W))))
-    # the Pallas tiles are (32, 128): the row axis is the binding one
-    span = int(np.clip(np.ceil(ext / 32) + 1, 2, 12))
-    return patch, span
+    # Per-axis spans against the Pallas (32, 128) tiles, uncapped up to
+    # the image's own tile counts — a face can never need more tiles than
+    # the screen has, so nothing clips regardless of face size (the old
+    # single-span cap of 12 row-tiles ~ 352 px could clip very close
+    # ground-plane quads).
+    ext_x = float(ext_xy[:, 0].max())
+    ext_y = float(ext_xy[:, 1].max())
+    span_y = int(np.clip(np.ceil(ext_y / 32) + 1, 2, -(-H // 32)))
+    span_x = int(np.clip(np.ceil(ext_x / 128) + 1, 2, -(-W // 128)))
+    return patch, (span_y, span_x)
 
 
 def combine_meshes(verts_list, faces_list):
@@ -413,6 +423,65 @@ def combine_meshes(verts_list, faces_list):
     return jnp.concatenate(verts_list, axis=0), faces
 
 
+def shade_vertices(verts_cam: jnp.ndarray, faces: np.ndarray,
+                   base_color, shading: str = "pbr",
+                   light_dir=(0.0, -0.4, -1.0),
+                   ambient: float = 0.5, metallic: float = 0.2,
+                   roughness: float = 1.0, n_lights: int = 3,
+                   intensity: float = 1.0) -> jnp.ndarray:
+    """Per-vertex colors under the reference's pyrender light rig.
+
+    hmr/renderer.py:100-160 composes ambient_light (0.5, 0.5, 0.5), a
+    MetallicRoughnessMaterial (metallicFactor 0.2, pyrender default
+    roughnessFactor 1.0) and THREE white DirectionalLights (intensity 1)
+    whose poses carry only translations ([0,-1,1], [0,1,1], [1,1,2]) —
+    pyrender directional lights take their direction from the pose's
+    ROTATION alone, so all three actually shine along the scene's -z:
+    straight down the view axis (a triple-strength headlight). After the
+    180-degree-about-x mesh transform, in CV camera coordinates (z into
+    the scene) the direction TO the light is (0, 0, -1).
+
+    shading='pbr' evaluates the glTF metallic-roughness BRDF under that
+    rig (Lambertian (1-F) c_diff/pi + GGX specular; alpha = roughness^2
+    = 1 collapses D to 1/pi and the Smith visibility to
+    0.5/(NdotL+NdotV)), per-vertex with the true view vector, then sums
+    the ambient term as ambient * base (pyrender's constant ambient).
+    shading='diffuse' keeps the legacy single-light Lambertian with
+    light_dir (clip floor 0.2) for callers that want the flat look.
+
+    base_color: (3,) or per-vertex (V, 3) float [0,1].
+    """
+    n = vertex_normals(verts_cam, faces)
+    base = jnp.asarray(base_color)
+    if shading == "diffuse":
+        l = jnp.asarray(light_dir)
+        l = l / jnp.linalg.norm(l)
+        return jnp.clip(-(n @ l), 0.2, 1.0)[:, None] * base
+
+    l = jnp.array([0.0, 0.0, -1.0])                        # to-light (CV)
+    v = -verts_cam / jnp.linalg.norm(verts_cam, axis=-1,
+                                     keepdims=True)        # to-camera
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    ndl = jnp.maximum(n @ l, 0.0)
+    ndv = jnp.maximum(jnp.sum(n * v, axis=-1), 1e-4)
+    ndh = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
+    vdh = jnp.maximum(jnp.sum(v * h, axis=-1), 0.0)
+
+    alpha2 = (roughness * roughness) ** 2
+    d = alpha2 / (jnp.pi * (ndh * ndh * (alpha2 - 1.0) + 1.0) ** 2)
+    vis = 0.5 / jnp.maximum(
+        ndl * jnp.sqrt(ndv * ndv * (1 - alpha2) + alpha2)
+        + ndv * jnp.sqrt(ndl * ndl * (1 - alpha2) + alpha2), 1e-6)
+    f0 = 0.04 * (1.0 - metallic) + base * metallic         # (3,)
+    fres = f0 + (1.0 - f0) * (1.0 - vdh[:, None]) ** 5     # (V, 3)
+    c_diff = base * (1.0 - metallic)
+    diffuse = (1.0 - fres) * c_diff / jnp.pi
+    spec = fres * (d * vis)[:, None]
+    radiance = n_lights * intensity * (diffuse + spec) * ndl[:, None]
+    return jnp.clip(ambient * base + radiance, 0.0, 1.0)
+
+
 def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
                         camera: Camera, image: Optional[np.ndarray],
                         img_hw: Tuple[int, int],
@@ -420,7 +489,8 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
                         light_dir=(0.0, -0.4, -1.0),
                         alpha: float = 0.9,
                         samples_per_face: int = 8,
-                        method: str = "auto") -> np.ndarray:
+                        method: str = "auto",
+                        shading: str = "pbr") -> np.ndarray:
     """Render one SMPL mesh over a frame (Renderer.__call__ semantics).
 
     verts_world: (V, 3); camera: a Camera with batch dims stripped;
@@ -429,6 +499,9 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
     rasterizer — pyrender-quality surfaces), or "auto" (raster via the
     Pallas tile kernel when a TPU backend is up — ~6 ms/frame for the
     full SMPL at 480x640 — else splat).
+    shading: "pbr" = the reference's ambient + triple-headlight
+    metallic-roughness rig (shade_vertices); "diffuse" = legacy
+    single-light Lambertian with light_dir.
     """
     img, mask = _panel_device(verts_world, faces,
                               camera.rotation, camera.translation,
@@ -436,7 +509,7 @@ def render_mesh_overlay(verts_world: jnp.ndarray, faces: np.ndarray,
                               (float(camera.center[0]),
                                float(camera.center[1])),
                               img_hw, _resolve_method(method), base_color,
-                              light_dir, samples_per_face)
+                              light_dir, samples_per_face, shading)
     return composite_panel(np.asarray(img), np.asarray(mask), image,
                            img_hw, alpha)
 
@@ -449,18 +522,16 @@ def _resolve_method(method: str) -> str:
 
 
 def _panel_device(verts_world, faces, R, t, focal_length, center, img_hw,
-                  method, base_color, light_dir, samples_per_face):
+                  method, base_color, light_dir, samples_per_face,
+                  shading="pbr"):
     """Device half of render_mesh_overlay: world->camera transform,
     diffuse vertex shading, z-buffered render. Pure jnp — callable under
     an outer jit (make_mesh_panel_fn batches many of these per
     dispatch)."""
     H, W = img_hw
     verts_cam = verts_world @ R.T + t
-    n = vertex_normals(verts_cam, faces)
-    l = jnp.asarray(light_dir)
-    l = l / jnp.linalg.norm(l)
-    diffuse = jnp.clip(-(n @ l), 0.2, 1.0)[:, None]
-    colors = diffuse * jnp.asarray(base_color)
+    colors = shade_vertices(verts_cam, faces, base_color, shading,
+                            light_dir)
     if method == "raster" and len(faces):
         return raster_render(verts_cam, colors, faces, focal_length,
                              center, (H, W))
@@ -485,7 +556,8 @@ def composite_panel(img: np.ndarray, mask: np.ndarray,
 def make_mesh_panel_fn(faces: np.ndarray, cameras, img_hw: Tuple[int, int],
                        base_color=(0.65, 0.74, 0.86),
                        light_dir=(0.0, -0.4, -1.0),
-                       samples_per_face: int = 8, method: str = "auto"):
+                       samples_per_face: int = 8, method: str = "auto",
+                       shading: str = "pbr"):
     """One compiled program rendering ALL views' panels per call.
 
     render_mesh_video renders views x frames panels; per-panel dispatch
@@ -505,7 +577,8 @@ def make_mesh_panel_fn(faces: np.ndarray, cameras, img_hw: Tuple[int, int],
         for i, (foc, ctr) in enumerate(intr):
             img, mask = _panel_device(
                 verts_stack[i], faces, R_stack[i], t_stack[i], foc, ctr,
-                img_hw, method, base_color, light_dir, samples_per_face)
+                img_hw, method, base_color, light_dir, samples_per_face,
+                shading)
             imgs.append(img)
             masks.append(mask)
         return jnp.stack(imgs), jnp.stack(masks)
@@ -571,7 +644,8 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
                   ground_width: float = 8.0,
                   light_dir=(0.0, -0.4, -1.0),
                   alpha: float = 1.0,
-                  person_colors: Optional[np.ndarray] = None) -> np.ndarray:
+                  person_colors: Optional[np.ndarray] = None,
+                  shading: str = "pbr") -> np.ndarray:
     """Multi-person 'pretty' render: blue-spectrum people over a
     checkerboard ground plane, one z-buffer (pretty_renderer.py:44-137).
 
@@ -579,6 +653,10 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
     any world->camera transform, like the reference's per-person extrinsics).
     person_colors: optional (n_people, 3) float [0,1] base colors replacing
     the blue spectrum (the reference renderer's set_color path).
+    shading: "pbr" = the reference's ambient-0.5 + triple-headlight
+    metallic-roughness rig (shade_vertices, hmr/renderer.py:100-160 —
+    the paper-figure look); "diffuse" = legacy single-light Lambertian
+    (clip floor 0.25) with light_dir.
     """
     H, W = img_hw
     spectrum = (blue_spectrum(len(verts_list)) if person_colors is None
@@ -586,15 +664,19 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
                                      (len(verts_list), 3)))
     all_v, all_c, all_f = [], [], []
     off = 0
-    l = jnp.asarray(light_dir)
-    l = l / jnp.linalg.norm(l)
     faces = np.asarray(faces)
     for i, v in enumerate(verts_list):
         v = jnp.asarray(v)
-        n = vertex_normals(v, faces)
-        diffuse = jnp.clip(-(n @ l), 0.25, 1.0)[:, None]
+        if shading == "diffuse":
+            l = jnp.asarray(light_dir)
+            l = l / jnp.linalg.norm(l)
+            n = vertex_normals(v, faces)
+            c = jnp.clip(-(n @ l), 0.25, 1.0)[:, None] \
+                * jnp.asarray(spectrum[i])
+        else:
+            c = shade_vertices(v, faces, spectrum[i], "pbr")
         all_v.append(v)
-        all_c.append(diffuse * jnp.asarray(spectrum[i]))
+        all_c.append(c)
         all_f.append(faces + off)
         off += v.shape[0]
     if add_ground and all_v:
@@ -604,7 +686,10 @@ def render_pretty(verts_list, faces: np.ndarray, camera: Camera,
         gz = float(jnp.concatenate(all_v)[:, 2].mean())
         gv = gv + jnp.array([0.0, 0.0, gz])
         all_v.append(gv)
-        all_c.append(gc)
+        # under the pbr rig the headlight grazes the floor (n . l = 0),
+        # so the plane is lit by the 0.5 ambient alone — same as pyrender
+        all_c.append(gc if shading == "diffuse"
+                     else shade_vertices(gv, np.asarray(gf), gc, "pbr"))
         all_f.append(np.asarray(gf) + off)
     verts = jnp.concatenate(all_v)
     colors = jnp.concatenate(all_c)

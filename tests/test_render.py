@@ -792,6 +792,98 @@ def test_pretty_ground_plane_covers_width(rng):
                         ground_width=12.0)
     lum = img.mean(-1)
     bottom = lum[64:]                     # ground-dominated rows
+    # under the reference light rig the headlight grazes the floor, so
+    # the checkers carry the 0.5 ambient only: white 0.5*220/255 = 0.43,
+    # black 0.5*35/255 = 0.07 (pretty_renderer.py:65,116-126)
     for cols in (slice(0, 85), slice(85, 170), slice(170, 256)):
         seg = bottom[:, cols]
-        assert (seg < 0.3).any() and (seg > 0.7).any(), cols
+        assert (seg < 0.15).any() and (seg > 0.35).any(), cols
+
+
+class TestReferenceLightRig:
+    """shade_vertices: the hmr/renderer.py:100-160 / pretty_renderer.py:
+    65-126 rig (ambient 0.5 + three identity-rotation DirectionalLights =
+    a triple headlight + MetallicRoughness 0.2/1.0)."""
+
+    def _plane(self):
+        # two triangles facing the camera (normal -z), at depth 4
+        v = jnp.asarray(np.array(
+            [[-1, -1, 4], [1, -1, 4], [1, 1, 4], [-1, 1, 4]], np.float32))
+        f = np.array([[0, 2, 1], [0, 3, 2]])
+        return v, f
+
+    def test_grazing_surface_is_ambient_only(self):
+        """An up-facing floor (normal perpendicular to the headlight)
+        keeps exactly ambient * base."""
+        from nemo_tpu.render import shade_vertices
+        v = jnp.asarray(np.array(
+            [[0, 1, 4], [1, 1, 4], [1, 1, 5], [0, 1, 5]], np.float32))
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        base = (0.8, 0.6, 0.4)
+        c = np.asarray(shade_vertices(v, f, base, "pbr"))
+        np.testing.assert_allclose(
+            c, np.broadcast_to(0.5 * np.asarray(base), (4, 3)), atol=1e-6)
+
+    def test_headlight_brightens_camera_facing(self):
+        from nemo_tpu.render import shade_vertices
+        v, f = self._plane()
+        base = (0.5, 0.5, 0.5)
+        c = np.asarray(shade_vertices(v, f, base, "pbr"))
+        assert (c > 0.5 * 0.5 + 0.05).all()      # well above ambient
+        assert (c <= 1.0).all()
+
+    def test_metallic_tints_specular(self):
+        """metallic raises F0 toward the base color: a red metal surface
+        must gain more red than blue from the specular term."""
+        from nemo_tpu.render.mesh import shade_vertices
+        v, f = self._plane()
+        c_dielec = np.asarray(shade_vertices(v, f, (0.8, 0.1, 0.1), "pbr",
+                                             metallic=0.0))
+        c_metal = np.asarray(shade_vertices(v, f, (0.8, 0.1, 0.1), "pbr",
+                                            metallic=1.0))
+        gain = c_metal - 0.5 * np.array([0.8, 0.1, 0.1])
+        assert (gain[:, 0] > gain[:, 2]).all()
+        # dielectric keeps the Lambert term; metal drops it (c_diff = 0)
+        assert (c_dielec[:, 2] > c_metal[:, 2]).all()
+
+    def test_per_vertex_base_colors(self):
+        from nemo_tpu.render import shade_vertices
+        v, f = self._plane()
+        base = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]],
+                        np.float32)
+        c = np.asarray(shade_vertices(v, f, jnp.asarray(base), "pbr"))
+        assert c.shape == (4, 3)
+        assert c[0, 0] > c[0, 1]                 # red vertex stays red
+
+    def test_diffuse_mode_unchanged(self, rng):
+        """shading='diffuse' reproduces the legacy single-light formula."""
+        from nemo_tpu.render import shade_vertices
+        from nemo_tpu.render.mesh import vertex_normals
+        v = jnp.asarray(rng.randn(12, 3).astype(np.float32)
+                        + np.array([0, 0, 5], np.float32))
+        f = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]])
+        l = np.array([0.0, -0.4, -1.0])
+        l = l / np.linalg.norm(l)
+        n = np.asarray(vertex_normals(v, f))
+        want = np.clip(-(n @ l), 0.2, 1.0)[:, None] * np.array(
+            [0.65, 0.74, 0.86])
+        got = np.asarray(shade_vertices(v, f, (0.65, 0.74, 0.86),
+                                        "diffuse"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_pbr_golden_image(self):
+        """render_pretty under the reference rig matches the checked-in
+        golden (regenerate: scripts/make_shading_golden.py)."""
+        import os
+        golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                                   "pbr_shading.npz")
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "make_shading_golden",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "make_shading_golden.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        img = mod.build()
+        want = np.load(golden_path)["img"]
+        np.testing.assert_allclose(img, want, atol=2e-5)
