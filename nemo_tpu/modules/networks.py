@@ -125,11 +125,18 @@ def apply_motion_net(p: Params, x: jnp.ndarray, n_joints: int
     n_joints-1 are body joints (:138-147).
     """
     B = x.shape[0]
-    z = jax.nn.relu(apply_fcnn(p["trunk"], x))
-    rot6d = _dot(z, p["W_rot"]) + p["b_rot"]               # (B, n_joints*6)
+    from ..ops.mlp_pallas import mlp_pallas_available, motion_net_mlp
+    if mlp_pallas_available():
+        # fused Pallas trunk+heads (VMEM-resident weights, custom VJP;
+        # NEMO_TPU_NET_FUSED=1) — same math/precision as the jnp path
+        rot6d, trans = motion_net_mlp(p, x, n_joints,
+                                      p["W_lin"].shape[1])
+    else:
+        z = jax.nn.relu(apply_fcnn(p["trunk"], x))
+        rot6d = _dot(z, p["W_rot"]) + p["b_rot"]           # (B, n_joints*6)
+        trans = _dot(z, p["W_lin"]) + p["b_lin"]
     rotmat = rot6d_to_rotmat(rot6d.reshape(B, n_joints, 6))  # (B, J, 3, 3)
     pose = rotmat_to_aa(rotmat).reshape(B, n_joints * 3)
-    trans = _dot(z, p["W_lin"]) + p["b_lin"]
     orient = {"rot6d": rot6d[:, :6], "rotmat": rotmat[:, :1],
               "pose": pose[:, :3]}
     pose_d = {"rot6d": rot6d[:, 6:], "rotmat": rotmat[:, 1:],
