@@ -255,6 +255,31 @@ class TestEndToEndFit:
         np.testing.assert_array_equal(np.asarray(m["kp_loss"]),
                                       np.asarray(m2["kp_loss"]))
 
+    def test_scan_unroll_trajectory_equivalent(self, small_model, problem,
+                                               monkeypatch):
+        """NEMO_TPU_SCAN_UNROLL only changes the loop schedule: the main
+        stage's metric trajectory must match unroll=1 step for step
+        (incl. a step count that does not divide the unroll factor,
+        which falls back to unroll=1)."""
+        bundle, _ = problem
+        cfg = NemoConfig(model_version=2, h_dim=16, instance_code_size=4,
+                         phase_rbf_dim=8, monotonic_network_n_nodes=5,
+                         phase_init="linear", batch_size=8, lr_factor=1.0,
+                         weight_gmm_loss=0.0, label_type="gt",
+                         warmup_step=0, opt_cam_step=0, n_steps=24)
+        assets = build_assets(bundle, small_model, cfg)
+
+        runs = {}
+        for unroll in ("1", "4", "5"):
+            monkeypatch.setenv("NEMO_TPU_SCAN_UNROLL", unroll)
+            fitter = NemoFitter(cfg, assets, seed=0)
+            runs[unroll] = fitter.fit(steps=24, chunk=24)
+        for unroll in ("4", "5"):
+            np.testing.assert_allclose(
+                np.asarray(runs[unroll]["total_loss"]),
+                np.asarray(runs["1"]["total_loss"]), rtol=1e-6,
+                err_msg=f"unroll={unroll} diverges from unroll=1")
+
     def test_eval_loss_sampled_batch(self, small_model, problem):
         """eval_loss(full=False) draws one random batch (the entry script's
         default init eval, :215-226) and must be finite + reproducible."""
