@@ -112,20 +112,26 @@ def main():
     fitter.opt_cam(2)
     fitter.fit(steps=2, chunk=2)
 
-    # Timed run: one full 500-step main-stage chunk, fully on-device.
+    # Timed run: >=3 independent full 500-step main-stage chunks, fully
+    # on-device; median is the headline, min/max bound the run-to-run noise
+    # floor (VERDICT r4 item 3: single-shot deltas of a few percent were
+    # uninterpretable).
     n_timed = 500
+    n_repeats = int(os.environ.get("NEMO_TPU_BENCH_REPEATS", "3"))
     run = fitter._stage_scan("main", n_timed)
     st = fitter.state
     carry = (st.params, st.opt_state, st.plateau, st.key)
     # compile
     out = run(carry)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(carry)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        out = run(carry)
+        jax.block_until_ready(out)
+        rates.append(n_timed / (time.perf_counter() - t0))
 
-    steps_per_sec = n_timed / dt
+    steps_per_sec = float(np.median(rates))
 
     # Whole-step MFU (VERDICT r2 item 7): analytic FLOPs x measured rate
     # against the chip's bf16 peak. The step is SHAPE-bound (small K=24/207
@@ -141,6 +147,9 @@ def main():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+        "repeats": n_repeats,
+        "steps_per_sec_min": round(min(rates), 2),
+        "steps_per_sec_max": round(max(rates), 2),
         "flops_per_step": round(flops),
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_pct": (round(100 * achieved / peak, 2) if peak else None),

@@ -114,7 +114,22 @@ class NemoFitter:
 
     def _stage_scan(self, stage: str, steps: int):
         """Build (or fetch) the compiled scan for a stage at a step count."""
-        cache_key = (stage, steps)
+        # NEMO_TPU_SCAN_UNROLL=N unrolls N fit steps into one loop body so
+        # XLA can fuse/pipeline across step boundaries (targets the ~23%
+        # small-fusion tail in the step profile). Numerically equivalent
+        # (trajectory-tested on CPU at rtol=1e-6; XLA may still reassociate
+        # float rounding under unrolling). Measured verdict: ROADMAP
+        # "NEMO_TPU_SCAN_UNROLL sweep".
+        import os
+        unroll = max(1, int(os.environ.get("NEMO_TPU_SCAN_UNROLL", "1")))
+        if unroll > 1 and steps % unroll != 0:
+            import warnings
+            warnings.warn(
+                f"NEMO_TPU_SCAN_UNROLL={unroll} does not divide the "
+                f"{stage!r}-stage chunk of {steps} steps; falling back to "
+                f"unroll=1 for this scan", stacklevel=2)
+            unroll = 1
+        cache_key = (stage, steps, unroll)
         if cache_key in self._compiled:
             return self._compiled[cache_key]
 
@@ -206,18 +221,10 @@ class NemoFitter:
         else:
             raise ValueError(stage)
 
-        # NEMO_TPU_SCAN_UNROLL=N unrolls N fit steps into one loop body so
-        # XLA can fuse/pipeline across step boundaries (targets the ~23%
-        # small-fusion tail in the step profile). Bit-identical math —
-        # unroll only changes the loop schedule. Default 1 (see ROADMAP
-        # for the measured verdict).
-        import os
-        unroll = max(1, int(os.environ.get("NEMO_TPU_SCAN_UNROLL", "1")))
-
         @jax.jit
         def run(carry):
             return jax.lax.scan(body, carry, None, length=steps,
-                                unroll=unroll if steps % unroll == 0 else 1)
+                                unroll=unroll)
 
         self._compiled[cache_key] = run
         return run

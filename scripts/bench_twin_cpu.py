@@ -37,7 +37,7 @@ sys.path.append(osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--torch_steps", type=int, default=5)
+    ap.add_argument("--torch_steps", type=int, default=10)
     ap.add_argument("--jax_steps", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--num_vertices", type=int, default=6890)
@@ -51,6 +51,8 @@ def main():
 
     import numpy as np
     import torch
+    # One core on this host; pin torch so the ratio is stable (ADVICE r4).
+    torch.set_num_threads(1)
 
     from nemo_tpu.body import synthetic_smpl_model
     from nemo_tpu.data import synthetic_problem
@@ -101,10 +103,12 @@ def main():
         return float(loss)
 
     torch_step(0)  # warm lazy allocs
-    t0 = time.perf_counter()
+    torch_times = []
     for i in range(args.torch_steps):
+        t0 = time.perf_counter()
         torch_step(1 + i)
-    torch_dt = (time.perf_counter() - t0) / args.torch_steps
+        torch_times.append(time.perf_counter() - t0)
+    torch_dt = float(np.median(torch_times))
 
     # ---- jax side: the production main-stage scan, compiled once ----
     fitter = NemoFitter(cfg, assets, seed=0)
@@ -121,6 +125,8 @@ def main():
         "shape": {"batch": cfg.batch_size, "verts": args.num_vertices,
                   "h_dim": args.h_dim, "views": 8, "frames": 120},
         "torch_ms_per_step": round(torch_dt * 1e3, 1),
+        "torch_ms_per_step_min": round(min(torch_times) * 1e3, 1),
+        "torch_ms_per_step_max": round(max(torch_times) * 1e3, 1),
         "torch_steps_per_sec": round(1.0 / torch_dt, 3),
         "jax_cpu_ms_per_step": round(jax_dt * 1e3, 1),
         "jax_cpu_steps_per_sec": round(1.0 / jax_dt, 3),

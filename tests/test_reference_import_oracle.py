@@ -447,8 +447,18 @@ def ref_motion_disc():
     """Load the reference SelfAttention + MotionDiscriminator by file path
     (VIBE/lib has no importable package root here; lib.models.__init__ pulls
     the full model zoo, so the two leaf files are loaded directly with the
-    attention module pre-registered under its package name)."""
+    attention module pre-registered under its package name).
+
+    Every sys.modules entry this fixture touches is snapshot and restored at
+    teardown: the bare ``lib``/``lib.models`` stubs have no ``__path__``, so
+    leaving them installed breaks later ``import lib.smplify.losses`` in
+    tests/test_temporal_smplify.py (fast tier was green file-by-file but not
+    in one session)."""
     import importlib.util
+
+    touched = ("lib", "lib.models", "lib.models.attention",
+               "ref_motion_discriminator")
+    saved = {name: sys.modules.get(name) for name in touched}
 
     def load(name, path):
         spec = importlib.util.spec_from_file_location(name, path)
@@ -457,15 +467,22 @@ def ref_motion_disc():
         spec.loader.exec_module(mod)
         return mod
 
-    for pkg in ("lib", "lib.models"):
-        if pkg not in sys.modules:
-            sys.modules[pkg] = types.ModuleType(pkg)
-    att = load("lib.models.attention",
-               REFERENCE_ROOT + "/VIBE/lib/models/attention.py")
-    sys.modules["lib.models"].attention = att
-    md = load("ref_motion_discriminator",
-              REFERENCE_ROOT + "/VIBE/lib/models/motion_discriminator.py")
-    return types.SimpleNamespace(attention=att, motion_discriminator=md)
+    try:
+        for pkg in ("lib", "lib.models"):
+            if pkg not in sys.modules:
+                sys.modules[pkg] = types.ModuleType(pkg)
+        att = load("lib.models.attention",
+                   REFERENCE_ROOT + "/VIBE/lib/models/attention.py")
+        sys.modules["lib.models"].attention = att
+        md = load("ref_motion_discriminator",
+                  REFERENCE_ROOT + "/VIBE/lib/models/motion_discriminator.py")
+        yield types.SimpleNamespace(attention=att, motion_discriminator=md)
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
 
 
 def _convert_motion_disc(net, num_layers):
