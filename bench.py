@@ -84,6 +84,10 @@ def main():
     # HIGHEST). Quality-validated on TPU: 600-step fits end at kp_loss
     # 1485.4 (highest) vs 1490.2 (high), a 0.3% delta within run noise.
     os.environ.setdefault("NEMO_TPU_NET_PRECISION", "high")
+    # 4-step scan unroll: measured +3.4% on v5e (ROADMAP round-5 sweep:
+    # 1092.4 -> 1129.1 steps/s; x2 +1.8%, x5 +2.7%, x8 falls back).
+    # Schedule-only change; paired same-seed fits match (trajectory gate).
+    os.environ.setdefault("NEMO_TPU_SCAN_UNROLL", "4")
 
     from nemo_tpu.body import synthetic_smpl_model
     from nemo_tpu.data import synthetic_problem

@@ -9,7 +9,8 @@ from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
                     make_humor_train_step,
                     humor_transition_prior_loss, init_humor, pack_state,
                     split_state)
-from .humor_eval import humor_eval_metrics
+from .humor_eval import (humor_eval_full_test, humor_eval_metrics,
+                         humor_eval_recon, humor_eval_sampling)
 from .humor_fit import MotionOptConfig, humor_motion_fit
 from .vibe_train import (VibeLossWeights, compute_accel,
                          compute_error_accel, evaluate_vibe,
@@ -37,6 +38,7 @@ __all__ = [
     "init_vibe_train_state", "make_vibe_train_step", "vibe_predict",
     "vibe_trainer_fit",
     "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
+    "humor_eval_full_test", "humor_eval_sampling", "humor_eval_recon",
     "VibeLossWeights", "init_motion_discriminator", "init_self_attention",
     "self_attention",
     "make_discriminator_train_step", "motion_discriminator",

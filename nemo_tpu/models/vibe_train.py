@@ -14,6 +14,7 @@ into one program per batch.
 from __future__ import annotations
 
 import dataclasses
+import os.path as osp
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -409,22 +410,55 @@ def evaluate_vibe(pred_j3d: np.ndarray, target_j3d: np.ndarray,
     return out
 
 
+def save_vibe_state(path: str, state: dict) -> None:
+    """Save the VIBE train state (gen/disc params + optimizer states) —
+    the reference's checkpoint payload (Trainer.save_model,
+    trainer.py:450-470: gen_state_dict/disc_motion_state_dict + optimizers)."""
+    import os
+
+    from ..utils.checkpoint import _flatten_with_paths
+    os.makedirs(path, exist_ok=True)
+    for k in ("gen", "disc", "gen_opt", "disc_opt"):
+        np.savez_compressed(osp.join(path, f"{k}.npz"),
+                            **_flatten_with_paths(state[k]))
+
+
+def load_vibe_state(path: str, state: dict) -> dict:
+    """Restore into a template train state (see save_vibe_state)."""
+    from ..utils.checkpoint import _restore_tree
+    return {k: _restore_tree(state[k],
+                             dict(np.load(osp.join(path, f"{k}.npz"))))
+            for k in ("gen", "disc", "gen_opt", "disc_opt")}
+
+
 def vibe_trainer_fit(state, step_fn, smpl,
                      train_batches, valid_batches=None,
                      real_motion_batches=None,
                      epochs: int = 1,
                      lr_patience: int = 5,
-                     log_fn=print) -> Tuple[dict, Dict[str, float]]:
+                     log_fn=print,
+                     debug_viz_every: int = 0,
+                     debug_viz_dir: str = "") -> Tuple[dict, Dict[str, float]]:
     """Epoch loop: train over batches, validate, evaluate (Trainer.fit,
     trainer.py:314-344). Iterables are callables returning fresh iterators
     (the reference's re-created DataLoader iterators). Returns the final
     state and the last eval dict; performance = PA-MPJPE like the
-    reference's scheduler/checkpoint metric."""
+    reference's scheduler/checkpoint metric.
+
+    debug_viz_every=N emits a pred-vs-GT keypoint panel from the first
+    train batch every N epochs into debug_viz_dir — the DEBUG-mode
+    visualization hook (trainer.py:233,294 batch_visualize_vid_preds,
+    lib/utils/vis.py:324; feature-based training has no video frames, so
+    the panel plots the 2D keypoints in crop coordinates instead of
+    drawing on the frames)."""
     best = {"pa-mpjpe": float("inf")}
     for epoch in range(epochs):
         real_iter = iter(real_motion_batches()) \
             if real_motion_batches else None
+        first_batch = None
         for batch in train_batches():
+            if first_batch is None:
+                first_batch = batch
             if real_iter is None:
                 real = batch["pose"][..., 3:] if "pose" in batch else \
                     jnp.zeros(batch["features"].shape[:2] + (69,))
@@ -435,6 +469,14 @@ def vibe_trainer_fit(state, step_fn, smpl,
                     real_iter = iter(real_motion_batches())
                     real = next(real_iter)
             state, metrics = step_fn(state, batch, real)
+        if (debug_viz_every > 0 and debug_viz_dir
+                and epoch % debug_viz_every == 0 and first_batch is not None):
+            from ..render.keypoints import render_vibe_debug_panel
+            pred = vibe_predict(state["gen"], smpl, first_batch["features"])
+            render_vibe_debug_panel(
+                osp.join(debug_viz_dir, f"debug_epoch{epoch:04d}.png"),
+                np.asarray(pred["kp_2d"][0]),
+                np.asarray(first_batch["kp_2d"][0]))
         if valid_batches is None:
             continue
         preds, gts = [], []

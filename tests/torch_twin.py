@@ -508,3 +508,24 @@ class TorchNemoV2:
         (:4060-4149)."""
         return self.fit_loss(view_idx, frame_idx, detach_pose=True,
                              include_priors=False, include_3d=True)
+
+    def warmup_loss(self, view_idx, frame_idx):
+        """V1+ warmup: masked mse_robust of predicted axis-angle pose vs the
+        VIBE initializer theta (:3455-3509)."""
+        preds = self.get_preds_batch(view_idx, frame_idx)
+        theta = self.hmr_theta[view_idx, frame_idx]
+        mask = self.hmr_mask[view_idx, frame_idx]
+        return keypoint_loss(preds["poses"], theta, mask,
+                             loss_type="mse_robust").mean()
+
+    def camera_fit_loss(self):
+        """V0-V3 camera stage: frame 0 of every view, plain mean keypoint
+        loss, cameras-only (:2845-2906)."""
+        vi = torch.arange(self.num_views).long()
+        fi = torch.zeros(self.num_views).long()
+        preds = self.get_preds_batch(vi, fi)
+        points2d = self.learned_camera_projection(preds["j"], vi)
+        gt = self.points2d_gt[vi, fi]
+        gt_size = self.bbox_diag[vi, fi]
+        return keypoint_loss(points2d, gt[..., :2], gt[..., 2:], gt_size,
+                             self.cfg.loss).mean()
