@@ -86,7 +86,9 @@ def main():
     os.environ.setdefault("NEMO_TPU_NET_PRECISION", "high")
     # 4-step scan unroll: measured +3.4% on v5e (ROADMAP round-5 sweep:
     # 1092.4 -> 1129.1 steps/s; x2 +1.8%, x5 +2.7%, x8 falls back).
-    # Schedule-only change; paired same-seed fits match (trajectory gate).
+    # Schedule-only change: identical math modulo XLA reassociation (bit-
+    # identical for ~19 TPU steps, then chaotic divergence like any ulp
+    # perturbation — measured, docs/precision_knobs.md trajectory gate).
     os.environ.setdefault("NEMO_TPU_SCAN_UNROLL", "4")
 
     from nemo_tpu.body import synthetic_smpl_model

@@ -116,10 +116,12 @@ class NemoFitter:
         """Build (or fetch) the compiled scan for a stage at a step count."""
         # NEMO_TPU_SCAN_UNROLL=N unrolls N fit steps into one loop body so
         # XLA can fuse/pipeline across step boundaries (targets the ~23%
-        # small-fusion tail in the step profile). Numerically equivalent
-        # (trajectory-tested on CPU at rtol=1e-6; XLA may still reassociate
-        # float rounding under unrolling). Measured verdict: ROADMAP
-        # "NEMO_TPU_SCAN_UNROLL sweep".
+        # small-fusion tail in the step profile). Identical math modulo XLA
+        # reassociation: on TPU, unroll=4 vs 1 is bit-identical for ~19
+        # steps, after which the fit's chaos amplifies the ulp-level
+        # rounding differences like any perturbation (measured — see
+        # docs/precision_knobs.md "TPU trajectory gate"). Measured speed
+        # verdict: ROADMAP "NEMO_TPU_SCAN_UNROLL sweep" (+3.4% at x4).
         import os
         unroll = max(1, int(os.environ.get("NEMO_TPU_SCAN_UNROLL", "1")))
         if unroll > 1 and steps % unroll != 0:
