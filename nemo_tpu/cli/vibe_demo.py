@@ -35,6 +35,13 @@ def build_parser():
                    help="SPIN/VIBE torch checkpoint to convert; random "
                         "weights if omitted (pipeline smoke mode)")
     p.add_argument("--smpl_path", type=str, default="")
+    p.add_argument("--tracking_method", choices=["bbox", "pose"],
+                   default="bbox",
+                   help="bbox: greedy-IoU tracking over detections "
+                        "(VIBE/demo2.py's MPT path); pose: group STAF-"
+                        "tracked OpenPose person_ids into tracklets with "
+                        "keypoint-extent bboxes (VIBE/demo.py:83-146 + "
+                        "lib/utils/pose_tracker.py); needs --openpose_dir")
     p.add_argument("--min_track_len", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--out_res", type=int, default=224,
@@ -181,7 +188,13 @@ def refine_with_smplify(people, op_kps, smpl, gmm, img_hw,
     for pid, p in people.items():
         fids = np.asarray(p["frame_ids"], np.int64)
         cs = np.asarray(p["bbox_cs"], np.float32)        # (T, 3)
-        kp = op_kps[fids].astype(np.float32).copy()      # (T, 25, 3)
+        if "joints2d" in p:
+            # pose tracking attached this track's OWN detections — the
+            # reference's smplify path consumes exactly those
+            # (demo.py:182-184 norm_joints2d from the tracked joints2d)
+            kp = np.asarray(p["joints2d"], np.float32).copy()
+        else:
+            kp = op_kps[fids].astype(np.float32).copy()  # (T, 25, 3)
         # image -> crop pixel coords (inverse of crop_to_image_coords)
         half = cs[:, 2:3] / 2.0
         kp[..., 0] = (kp[..., 0] - (cs[:, 0:1] - half)) \
@@ -224,15 +237,25 @@ def main(argv=None) -> int:
     frames = load_frames(args.frames_dir, args.max_frames)
     print(f"[vibe_demo] {len(frames)} frames")
 
-    if args.detections:
-        raw = np.load(args.detections, allow_pickle=True)
-        dets = [np.asarray(d).reshape(-1, 4) for d in raw]
-    elif args.openpose_dir:
-        dets = detections_from_openpose(args.openpose_dir, len(frames))
+    if args.tracking_method == "pose":
+        # the reference's STAF pose-tracking branch (VIBE/demo.py:83-86,
+        # 129-146): tracklets come keyed by OpenPose person_id, bboxes
+        # derive from the keypoint extents, and the detections ride along
+        if not args.openpose_dir:
+            raise SystemExit("--tracking_method pose needs --openpose_dir")
+        from ..data.openpose import read_posetrack_keypoints
+        from ..data.tracker import tracks_from_posetrack
+        tracks = tracks_from_posetrack(
+            read_posetrack_keypoints(args.openpose_dir, len(frames)))
     else:
-        raise SystemExit("need --detections or --openpose_dir")
-
-    tracks = track_bboxes(dets)
+        if args.detections:
+            raw = np.load(args.detections, allow_pickle=True)
+            dets = [np.asarray(d).reshape(-1, 4) for d in raw]
+        elif args.openpose_dir:
+            dets = detections_from_openpose(args.openpose_dir, len(frames))
+        else:
+            raise SystemExit("need --detections or --openpose_dir")
+        tracks = track_bboxes(dets)
     print(f"[vibe_demo] {len(tracks)} tracks")
 
     if args.smpl_path:

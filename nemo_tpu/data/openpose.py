@@ -47,6 +47,40 @@ def load_openpose_dir(dirpath: str, num_frames: Optional[int] = None,
     return np.stack([parse_openpose_json(p) for p in paths])
 
 
+def read_posetrack_keypoints(dirpath: str,
+                             num_frames: Optional[int] = None):
+    """STAF-tracked OpenPose JSONs -> per-person keypoint tracklets.
+
+    Behavioral reference: VIBE/lib/utils/pose_tracker.py:85-115
+    (read_posetrack_keypoints) — OpenPose run with `--tracking 1` writes
+    a stable `person_id` per detection; detections are grouped by that id
+    into {pid: {'joints2d': (T, 25, 3), 'frames': (T,)}}. Detections
+    without a tracked id (person_id [-1], plain OpenPose output) fall
+    back to their within-frame index so single-person directories remain
+    usable without the STAF binary.
+    """
+    people: dict = {}
+    names = sorted(n for n in os.listdir(dirpath) if n.endswith(".json"))
+    if num_frames is not None:
+        names = names[:num_frames]
+    for idx, name in enumerate(names):
+        with open(os.path.join(dirpath, name)) as f:
+            data = json.load(f)
+        for j, person in enumerate(data.get("people", [])):
+            pid = person.get("person_id", [-1])
+            pid = int(pid[0] if isinstance(pid, (list, tuple)) else pid)
+            if pid < 0:
+                pid = j
+            kp = np.asarray(person["pose_keypoints_2d"],
+                            np.float32).reshape(-1, 3)[:25]
+            entry = people.setdefault(pid, {"joints2d": [], "frames": []})
+            entry["joints2d"].append(kp)
+            entry["frames"].append(idx)
+    return {pid: {"joints2d": np.stack(p["joints2d"]),
+                  "frames": np.asarray(p["frames"])}
+            for pid, p in people.items()}
+
+
 def flip_horizontal(pose2d: np.ndarray, width: float) -> np.ndarray:
     """Mirror keypoints left-right incl. the L/R joint permutation
     (nemo/utils/misc_utils.py:60-88)."""

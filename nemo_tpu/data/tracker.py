@@ -68,6 +68,70 @@ def track_bboxes(detections: Sequence[np.ndarray], iou_threshold: float = 0.3,
             for tid, t in tracks.items()}
 
 
+def tracks_from_posetrack(people: Dict[int, Dict[str, np.ndarray]],
+                          vis_thresh: float = 0.3,
+                          min_height: float = 0.5
+                          ) -> Dict[int, Dict[str, np.ndarray]]:
+    """Keypoint tracklets -> the bbox-track dict run_vibe_on_tracks eats.
+
+    Behavioral reference: the pose-tracking branch of VIBE/demo.py:129-146
+    + lib/dataset/inference.py:45-53 + lib/utils/smooth_bbox.py:33-104.
+    Per frame the bbox center is the visible-keypoint extent midpoint and
+    its side the extent DIAGONAL (kp_to_bbox_param's scale = 150/height,
+    un-inverted by inference.py's `150./bboxes[:, 2:]`; vis_thresh 0.3);
+    frames with no visible keypoints or height < 0.5 px are invalid,
+    interior gaps are linearly interpolated (get_all_bbox_params), and
+    the track is trimmed to its first..last valid frames. The keypoints
+    ride along as 'joints2d' (zero confidence on interpolated frames) so
+    downstream TemporalSMPLify refines against the track's OWN
+    detections, as the reference's pose path does (demo.py:182-184).
+    """
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for pid, p in people.items():
+        frames = np.asarray(p["frames"], np.int64)
+        kps = np.asarray(p["joints2d"], np.float32)
+        if frames.size == 0:
+            continue
+        lo, hi = int(frames.min()), int(frames.max())
+        span = hi - lo + 1
+        dense_kp = np.zeros((span, kps.shape[1], 3), np.float32)
+        dense_kp[frames - lo] = kps
+        params = np.full((span, 3), np.nan, np.float32)  # cx, cy, height
+        for t in range(span):
+            vis = dense_kp[t, :, 2] > vis_thresh
+            if not np.any(vis):
+                continue
+            mn = dense_kp[t, vis, :2].min(axis=0)
+            mx = dense_kp[t, vis, :2].max(axis=0)
+            height = float(np.linalg.norm(mx - mn))
+            if height < min_height:
+                continue
+            params[t] = [*((mn + mx) / 2.0), height]
+        valid = ~np.isnan(params[:, 0])
+        if not np.any(valid):
+            continue
+        idx = np.flatnonzero(valid)
+        start, end = idx[0], idx[-1]
+        params = params[start:end + 1]
+        dense_kp = dense_kp[start:end + 1]
+        hole = np.isnan(params[:, 0])
+        if np.any(hole):
+            t = np.arange(len(params), dtype=np.float32)
+            for c in range(3):
+                params[hole, c] = np.interp(t[hole], t[~hole],
+                                            params[~hole, c])
+            dense_kp[hole] = 0.0  # interpolated frames carry no detection
+        half = params[:, 2] / 2.0
+        out[pid] = {
+            "bboxes": np.stack([params[:, 0] - half, params[:, 1] - half,
+                                params[:, 0] + half, params[:, 1] + half],
+                               axis=1).astype(np.float32),
+            "frame_ids": np.arange(lo + start, lo + end + 1),
+            "joints2d": dense_kp,
+        }
+    return out
+
+
 def bbox_to_cs(bbox: np.ndarray, rescale: float = 1.1) -> np.ndarray:
     """[x0,y0,x1,y1] -> [cx, cy, size] square crop spec."""
     cx = (bbox[0] + bbox[2]) / 2
@@ -154,6 +218,11 @@ def run_vibe_on_tracks(frames: Sequence[np.ndarray],
             # into the same crop frame as pred_cam
             "bbox_cs": bbox_cs,
         }
+        if "joints2d" in tr:
+            # pose-tracked detections ride through to the pkl under the
+            # reference's key (demo.py:252 'joints2d'); SMPLify prefers
+            # these per-track keypoints over a directory re-read
+            out[tid]["joints2d"] = tr["joints2d"]
     return out
 
 

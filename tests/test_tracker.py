@@ -226,3 +226,150 @@ def test_render_demo_video(tmp_path, rng):
         assert img.shape[:2] == (48, 64) and np.isfinite(img).all()
     else:
         assert os.path.exists(dst)
+
+
+class TestPoseTracking:
+    """The reference's STAF pose-tracking branch (VIBE/demo.py:83-146,
+    lib/utils/pose_tracker.py:85-115, lib/utils/smooth_bbox.py:33-104)."""
+
+    def _write_op_dir(self, d, frames_people):
+        """frames_people: list over frames of [(person_id, kp(25,3)), ...]."""
+        import json
+        d.mkdir(parents=True, exist_ok=True)
+        for f, people in enumerate(frames_people):
+            rec = {"people": [
+                {"person_id": [pid],
+                 "pose_keypoints_2d": kp.ravel().tolist()}
+                for pid, kp in people]}
+            with open(d / f"{f:06d}_keypoints.json", "w") as fh:
+                json.dump(rec, fh)
+
+    def _kp(self, rng, cx, cy, half=10.0, conf=0.9):
+        kp = np.zeros((25, 3), np.float32)
+        kp[:, 0] = cx + half * (2 * rng.rand(25) - 1)
+        kp[:, 1] = cy + half * (2 * rng.rand(25) - 1)
+        kp[:, 2] = conf
+        # pin the extent so the bbox is deterministic
+        kp[0, :2] = [cx - half, cy - half]
+        kp[1, :2] = [cx + half, cy + half]
+        return kp
+
+    def test_read_posetrack_groups_by_person_id(self, tmp_path, rng):
+        """pose_tracker.py:97-109: detections group by person_id[0] across
+        frames regardless of within-frame order."""
+        from nemo_tpu.data.openpose import read_posetrack_keypoints
+        a0, a1 = self._kp(rng, 30, 30), self._kp(rng, 32, 30)
+        b0, b1 = self._kp(rng, 90, 40), self._kp(rng, 88, 40)
+        self._write_op_dir(tmp_path / "op", [
+            [(7, a0), (3, b0)],
+            [(3, b1), (7, a1)],        # swapped order, same ids
+        ])
+        ppl = read_posetrack_keypoints(str(tmp_path / "op"))
+        assert sorted(ppl) == [3, 7]
+        assert ppl[7]["joints2d"].shape == (2, 25, 3)
+        np.testing.assert_array_equal(ppl[7]["frames"], [0, 1])
+        np.testing.assert_allclose(ppl[7]["joints2d"][1], a1)
+        np.testing.assert_allclose(ppl[3]["joints2d"][0], b0)
+
+    def test_read_posetrack_untracked_falls_back_to_index(self, tmp_path,
+                                                          rng):
+        """person_id [-1] (plain OpenPose, no STAF) keys by within-frame
+        detection index so single-person dirs remain usable."""
+        from nemo_tpu.data.openpose import read_posetrack_keypoints
+        self._write_op_dir(tmp_path / "op", [
+            [(-1, self._kp(rng, 30, 30))],
+            [(-1, self._kp(rng, 31, 30))],
+        ])
+        ppl = read_posetrack_keypoints(str(tmp_path / "op"))
+        assert list(ppl) == [0]
+        assert len(ppl[0]["frames"]) == 2
+
+    def test_tracks_from_posetrack_bbox_semantics(self, rng):
+        """kp_to_bbox_param (smooth_bbox.py:33-59) via inference.py:45-53:
+        center = visible-extent midpoint, side = extent diagonal."""
+        from nemo_tpu.data.tracker import tracks_from_posetrack
+        kp = self._kp(rng, 50, 60, half=12.0)
+        # a low-confidence outlier must be ignored (vis_thresh 0.3)
+        kp[2] = [500.0, 500.0, 0.1]
+        ppl = {4: {"joints2d": kp[None], "frames": np.array([5])}}
+        tr = tracks_from_posetrack(ppl)
+        box = tr[4]["bboxes"][0]
+        diag = np.sqrt(2.0) * 24.0
+        np.testing.assert_allclose((box[0] + box[2]) / 2, 50.0, atol=1e-4)
+        np.testing.assert_allclose((box[1] + box[3]) / 2, 60.0, atol=1e-4)
+        np.testing.assert_allclose(box[2] - box[0], diag, rtol=1e-5)
+        np.testing.assert_allclose(box[3] - box[1], diag, rtol=1e-5)
+        np.testing.assert_array_equal(tr[4]["frame_ids"], [5])
+
+    def test_tracks_from_posetrack_interpolates_gaps(self, rng):
+        """get_all_bbox_params (smooth_bbox.py:62-104): interior frames
+        with no usable detection get linearly interpolated bbox params;
+        the track covers the dense first..last span; interpolated frames
+        carry zero-confidence keypoints."""
+        from nemo_tpu.data.tracker import tracks_from_posetrack
+        k0 = self._kp(rng, 20, 20)
+        k3 = self._kp(rng, 50, 20)
+        ppl = {0: {"joints2d": np.stack([k0, k3]),
+                   "frames": np.array([2, 5])}}
+        tr = tracks_from_posetrack(ppl)[0]
+        np.testing.assert_array_equal(tr["frame_ids"], [2, 3, 4, 5])
+        cx = (tr["bboxes"][:, 0] + tr["bboxes"][:, 2]) / 2
+        np.testing.assert_allclose(cx, [20, 30, 40, 50], atol=1e-4)
+        assert tr["joints2d"].shape == (4, 25, 3)
+        assert tr["joints2d"][1].sum() == 0.0       # hole: no detection
+        assert tr["joints2d"][0, :, 2].max() > 0.0
+
+    def test_tracks_from_posetrack_trims_invisible_ends(self, rng):
+        """Leading/trailing frames whose keypoints are all below
+        vis_thresh are trimmed, not extrapolated (inference.py:50-53
+        time_pt1/time_pt2)."""
+        from nemo_tpu.data.tracker import tracks_from_posetrack
+        lo = self._kp(rng, 20, 20, conf=0.05)
+        hi = self._kp(rng, 30, 20)
+        ppl = {0: {"joints2d": np.stack([lo, hi, lo]),
+                   "frames": np.array([0, 1, 2])}}
+        tr = tracks_from_posetrack(ppl)[0]
+        np.testing.assert_array_equal(tr["frame_ids"], [1])
+
+
+def test_vibe_demo_pose_tracking_e2e(tmp_path, rng):
+    """vibe_demo --tracking_method pose: STAF-id tracklets drive the
+    pipeline end-to-end and the pkl carries the reference's 'joints2d'
+    slot (VIBE/demo.py:83-86,131-132,252)."""
+    import json
+
+    import joblib
+    from nemo_tpu.cli.vibe_demo import main as demo_main
+    from nemo_tpu.render.video import _write_png
+
+    T, H, W = 8, 64, 64
+    frames_dir = tmp_path / "vid.frames"
+    op_dir = tmp_path / "vid.frames.op"
+    frames_dir.mkdir()
+    op_dir.mkdir()
+    for f in range(T):
+        img = rng.rand(H, W, 3).astype(np.float32) * 0.2
+        _write_png(str(frames_dir / f"{f:06d}.png"), img)
+        x0 = 12 + f
+        kp = np.zeros((25, 3), np.float32)
+        kp[:, 0] = x0 + 24 * rng.rand(25)
+        kp[:, 1] = 18 + 32 * rng.rand(25)
+        kp[:, 2] = 0.9
+        rec = {"people": [{"person_id": [11],
+                           "pose_keypoints_2d": kp.ravel().tolist()}]}
+        with open(op_dir / f"{f:06d}_keypoints.json", "w") as fh:
+            json.dump(rec, fh)
+
+    out_pkl = tmp_path / "vibe_output.pkl"
+    rc = demo_main(["--frames_dir", str(frames_dir),
+                    "--openpose_dir", str(op_dir),
+                    "--tracking_method", "pose",
+                    "--out", str(out_pkl), "--min_track_len", "6",
+                    "--out_res", "64"])
+    assert rc == 0
+    out = joblib.load(out_pkl)
+    assert list(out) == [11]                     # the STAF person_id
+    p = out[11]
+    assert p["pose"].shape == (T, 72)
+    assert p["joints2d"].shape == (T, 25, 3)     # detections ride along
+    assert p["orig_cam"].shape == (T, 4)
