@@ -3,15 +3,24 @@
 from .resnet import (convert_torch_resnet50, init_resnet50, resnet50_features)
 from .hmr import (convert_torch_hmr, hmr_forward, hmr_head, imagenet_normalize,
                   init_hmr_head, weak_perspective_projection)
-from .humor import (HumorConfig, STATE_DIM, gaussian_kl, humor_decode,
+from .humor import (HumorConfig, STATE_DIM, apply_world2local_state,
+                    canonicalize_state, compute_world2aligned_mat,
+                    gaussian_kl, humor_decode,
                     humor_infer_seq, humor_posterior, humor_prior,
                     humor_roll_out, humor_single_step, humor_train_loss,
                     make_humor_train_step,
                     humor_transition_prior_loss, init_humor, pack_state,
                     split_state)
+from .humor_loss import (HumorLossConfig, humor_full_loss, humor_loss_terms,
+                         humor_step_scheduled, kl_anneal_weight, kl_normal,
+                         make_humor_full_train_step, multistep_lr,
+                         sched_samp_gt_p)
 from .humor_eval import (humor_eval_full_test, humor_eval_metrics,
                          humor_eval_recon, humor_eval_sampling)
 from .humor_fit import MotionOptConfig, humor_motion_fit
+from .humor_fit_eval import (aggregate_fitting_eval, compute_joint_accel,
+                             compute_toe_floor_pen, per_seq_means,
+                             quant_eval_3d, write_fitting_eval_csvs)
 from .vibe_train import (VibeLossWeights, compute_accel,
                          compute_error_accel, evaluate_vibe,
                          init_motion_discriminator, init_self_attention,
@@ -34,10 +43,17 @@ __all__ = [
     "humor_train_loss", "make_humor_train_step", "init_humor", "pack_state",
     "split_state",
     "humor_infer_seq", "humor_transition_prior_loss",
+    "apply_world2local_state", "canonicalize_state",
+    "compute_world2aligned_mat",
+    "HumorLossConfig", "humor_full_loss", "humor_loss_terms",
+    "humor_step_scheduled", "kl_anneal_weight", "kl_normal",
+    "make_humor_full_train_step", "multistep_lr", "sched_samp_gt_p",
     "compute_accel", "compute_error_accel", "evaluate_vibe",
     "init_vibe_train_state", "make_vibe_train_step", "vibe_predict",
     "vibe_trainer_fit",
-    "MotionOptConfig", "humor_motion_fit", "humor_eval_metrics",
+    "MotionOptConfig", "humor_motion_fit", "aggregate_fitting_eval",
+    "compute_joint_accel", "compute_toe_floor_pen", "per_seq_means",
+    "quant_eval_3d", "write_fitting_eval_csvs", "humor_eval_metrics",
     "humor_eval_full_test", "humor_eval_sampling", "humor_eval_recon",
     "VibeLossWeights", "init_motion_discriminator", "init_self_attention",
     "self_attention",

@@ -205,15 +205,134 @@ def humor_single_step(p: Params, cfg: HumorConfig, past: jnp.ndarray,
             "posterior": (qm, qv), "prior": (pm, pv), "z": z}
 
 
+# ---------------------------------------------------------------------------
+# World <-> aligned-local frame (humor/utils/transforms.py:17-58 +
+# humor_model.py:696-775 apply_world2local_trans)
+# ---------------------------------------------------------------------------
+
+def compute_aligned_from_right(body_right: jnp.ndarray
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation (about world z) aligning body_right (B, 3) to world +x.
+
+    transforms.py:17-31: project to the xy plane, acos the x component,
+    axis from the cross product with +x; returns (mat, axis-angle).
+    """
+    eps = 1e-6
+    x_proj = body_right[:, 0:1] / (
+        jnp.linalg.norm(body_right[:, :2], axis=1, keepdims=True) + eps)
+    angle = jnp.arccos(jnp.clip(x_proj, -1.0, 1.0))
+    flat = body_right * jnp.asarray([1.0, 1.0, 0.0])
+    x_axis = jnp.asarray([1.0, 0.0, 0.0])
+    axis = jnp.cross(flat, jnp.broadcast_to(x_axis, flat.shape))
+    aa = axis / (jnp.linalg.norm(axis, axis=1, keepdims=True) + eps) * angle
+    return batch_rodrigues(aa), aa
+
+
+def compute_world2aligned_mat(rot: jnp.ndarray) -> jnp.ndarray:
+    """Heading-removal rotation for root orientation matrices (B, 3, 3)
+    (transforms.py:33-42: body right = -R[:, :, 0])."""
+    mat, _ = compute_aligned_from_right(-rot[:, :, 0])
+    return mat
+
+
+def compute_world2aligned_joints_mat(joints: jnp.ndarray) -> jnp.ndarray:
+    """Same from joints (B, J, 3): right = rightUpLeg - leftUpLeg
+    (transforms.py:45-58; SMPL_JOINTS left/rightUpLeg = 1/2)."""
+    right = joints[:, 2] - joints[:, 1]
+    right = right / jnp.linalg.norm(right, axis=1, keepdims=True)
+    mat, _ = compute_aligned_from_right(right)
+    return mat
+
+
+def apply_world2local_state(state: jnp.ndarray, rot: jnp.ndarray,
+                            trans: jnp.ndarray, trans2joint: jnp.ndarray,
+                            invert: bool = False) -> jnp.ndarray:
+    """Apply a world->local transform to a packed (B, D) state.
+
+    humor_model.py:696-775 apply_world2local_trans, restated on the packed
+    aa-rotation state: root_orient composes (W @ R), trans translates then
+    rotates, joints shift by trans + trans2joint then rotate back off the
+    trans2joint offset, velocity fields only rotate, pose_body is untouched.
+    rot: (B, 3, 3); trans, trans2joint: (B, 3).
+    """
+    B = state.shape[0]
+    W = jnp.swapaxes(rot, 1, 2) if invert else rot
+    d = split_state(state)
+    out = dict(d)
+
+    R = batch_rodrigues(d["root_orient"])
+    out["root_orient"] = rotmat_to_aa(
+        jnp.matmul(W, R, precision=jax.lax.Precision.HIGHEST))
+
+    if invert:
+        out["trans"] = jnp.einsum("bij,bj->bi", W, d["trans"]) - trans
+    else:
+        out["trans"] = jnp.einsum("bij,bj->bi", W, d["trans"] + trans)
+
+    J = d["joints"].shape[1] // 3
+    pts = d["joints"].reshape(B, J, 3)
+    if invert:
+        pts = pts + trans2joint[:, None, :]
+        pts = jnp.einsum("bij,bkj->bki", W, pts)
+        pts = pts - trans2joint[:, None, :] - trans[:, None, :]
+    else:
+        pts = pts + trans[:, None, :] + trans2joint[:, None, :]
+        pts = jnp.einsum("bij,bkj->bki", W, pts)
+        pts = pts - trans2joint[:, None, :]
+    out["joints"] = pts.reshape(B, J * 3)
+
+    vel = d["joints_vel"].reshape(B, J, 3)
+    out["joints_vel"] = jnp.einsum("bij,bkj->bki", W, vel).reshape(B, J * 3)
+    out["trans_vel"] = jnp.einsum("bij,bj->bi", W, d["trans_vel"])
+    out["root_orient_vel"] = jnp.einsum("bij,bj->bi", W,
+                                        d["root_orient_vel"])
+    return pack_state(out)
+
+
+def canonicalize_state(state: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World state -> aligned local frame; returns (local_state, rot, trans)
+    with the world2local transform so outputs can be mapped back
+    (roll_out's canonicalize_input semantics, humor_model.py:813-837)."""
+    d = split_state(state)
+    R = batch_rodrigues(d["root_orient"])
+    rot = compute_world2aligned_mat(R)
+    trans = jnp.concatenate(
+        [-d["trans"][:, :2], jnp.zeros_like(d["trans"][:, :1])], axis=1)
+    # world-frame trans2joint (:831-834): -(root joint xy + trans offset);
+    # equals -local-root-xy of the resulting local state (:867-869).
+    t2j_xy = -(d["joints"][:, :2] + trans[:, :2])
+    t2j = jnp.concatenate([t2j_xy, jnp.zeros_like(t2j_xy[:, :1])], axis=1)
+    return apply_world2local_state(state, rot, trans, t2j), rot, trans
+
+
+def _trans2joint(state: jnp.ndarray) -> jnp.ndarray:
+    """-root-joint xy offset, constant over a rollout
+    (humor_model.py:867-869)."""
+    d = split_state(state)
+    root_xy = d["joints"][:, :2]
+    return jnp.concatenate([-root_xy, jnp.zeros_like(root_xy[:, :1])],
+                           axis=1)
+
+
 def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
                    num_steps: int, key=None, use_mean: bool = False,
-                   z_seq: Optional[jnp.ndarray] = None
+                   z_seq: Optional[jnp.ndarray] = None,
+                   canonicalize: bool = False
                    ) -> Dict[str, jnp.ndarray]:
     """Autoregressive rollout sampling the (conditional) prior each step.
 
     x0: (B, D) initial state. Returns {'states': (B, T, D), 'z': (B, T, L),
     'contacts': (B, T, 9)?} — the reference's roll_out (:785-1020) as one
     lax.scan.
+
+    canonicalize=True reproduces the reference's per-step frame handling
+    (:965-1010): x0 is re-expressed in its aligned local frame, the model
+    always sees aligned-local inputs, and emitted states are mapped back to
+    the world frame through the accumulated world2local transform — so the
+    rollout is equivariant to world heading/xy placement, as the prior was
+    trained. canonicalize=False is the single-frame rollout (valid when x0
+    is already canonical and drift is acceptable / for synthetic tests).
     """
     B = x0.shape[0]
     if key is None:
@@ -222,8 +341,7 @@ def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
     zs = (jnp.swapaxes(z_seq, 0, 1) if z_seq is not None
           else jnp.zeros((num_steps, B, cfg.latent_size)))
 
-    def step(past, inp):
-        k, z_given = inp
+    def sample(past, k, z_given):
         pm, pv = humor_prior(p, cfg, past)
         if z_seq is not None:
             z = z_given
@@ -232,11 +350,50 @@ def humor_roll_out(p: Params, cfg: HumorConfig, x0: jnp.ndarray,
         else:
             z = pm + jax.random.normal(k, pm.shape) * jnp.sqrt(pv)
         pred, contacts = humor_decode(p, cfg, z, past)
-        out = (pred, z, contacts if contacts is not None
-               else jnp.zeros((B, 0)), pm, pv)
-        return pred, out
+        return pred, z, (contacts if contacts is not None
+                         else jnp.zeros((B, 0))), pm, pv
 
-    _, (states, z_out, contacts, pm, pv) = jax.lax.scan(step, x0, (keys, zs))
+    if not canonicalize:
+        def step(past, inp):
+            k, z_given = inp
+            pred, z, contacts, pm, pv = sample(past, k, z_given)
+            return pred, (pred, z, contacts, pm, pv)
+
+        _, (states, z_out, contacts, pm, pv) = jax.lax.scan(
+            step, x0, (keys, zs))
+    else:
+        x0_local, g_rot, g_trans = canonicalize_state(x0)
+        t2j = _trans2joint(x0_local)
+
+        def step(carry, inp):
+            past, g_rot, g_trans = carry
+            k, z_given = inp
+            pred, z, contacts, pm, pv = sample(past, k, z_given)
+            # world-frame output through the accumulated transform (:995)
+            world = apply_world2local_state(pred, g_rot, g_trans, t2j,
+                                            invert=True)
+            # heading/xy removal for the next input (:965-975)
+            dw = split_state(world)
+            g_trans = jnp.concatenate(
+                [-dw["trans"][:, :2], jnp.zeros_like(dw["trans"][:, :1])],
+                axis=1)
+            dp = split_state(pred)
+            Rp = batch_rodrigues(dp["root_orient"])
+            w2a_rot = compute_world2aligned_mat(Rp)
+            w2a_trans = jnp.concatenate(
+                [-dp["trans"][:, :2], jnp.zeros_like(dp["trans"][:, :1])],
+                axis=1)
+            nxt = apply_world2local_state(pred, w2a_rot, w2a_trans, t2j)
+            g_rot = jnp.matmul(g_rot, w2a_rot,
+                               precision=jax.lax.Precision.HIGHEST)
+            return (nxt, g_rot, g_trans), (world, z, contacts, pm, pv)
+
+        # The accumulated transform starts at the x0 canonicalization, i.e.
+        # the reference's canonicalize_input + uncanonicalize_output pair
+        # (:864-866): outputs come back in the ORIGINAL world frame.
+        (_, _, _), (states, z_out, contacts, pm, pv) = jax.lax.scan(
+            step, (x0_local, g_rot, g_trans), (keys, zs))
+
     return {"states": jnp.swapaxes(states, 0, 1),
             "z": jnp.swapaxes(z_out, 0, 1),
             "contacts": jnp.swapaxes(contacts, 0, 1),

@@ -1,0 +1,208 @@
+"""HuMoR fitting-evaluation harness (quantitative 3D metrics + CSVs).
+
+Behavioral reference: humor/humor/fitting/eval_utils.py:14-135 +
+:290-388 (quant_eval_3d, joint subsets, acceleration, toe-floor
+penetration, contact accuracy) and the aggregation / CSV family of
+humor/humor/fitting/eval_fitting_3d.py:330-492 (per-seq means,
+agg_{mean,std,median,max,min}, compare_* across methods, plus the two
+supplemental ground-penetration summaries).
+
+The reference drivers walk result directories produced by its RGB/AMASS
+fitting scripts; here the same metric core operates directly on arrays
+(the repo's `humor_motion_fit` outputs + a GT sequence), with
+`write_fitting_eval_csvs` reproducing the reference's output layout for
+any number of methods/stages. Everything is numpy — this is offline
+eval bookkeeping, not a TPU hot path.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .humor_loss import CONTACT_INDS
+
+# eval_utils.py:21-24
+GRND_PEN_THRESH_LIST = (0.0, 0.03, 0.06, 0.09, 0.12, 0.15)
+DATA_FPS = 30.0
+
+# SMPL_JOINTS subsets (eval_utils.py:296-311): ee = feet, toebases, hands;
+# legs = feet, toebases, knees
+EE_INDS = (7, 8, 10, 11, 20, 21)
+LEGS_INDS = (7, 8, 10, 11, 4, 5)
+
+
+def get_grnd_pen_key(thresh: float) -> str:
+    """eval_utils.py:68-69."""
+    return "ground_pen@%0.2f" % thresh
+
+
+def compute_joint_accel(joints: np.ndarray, fps: float = DATA_FPS
+                        ) -> np.ndarray:
+    """Magnitude of central-difference joint accelerations for (T, J, 3)
+    (eval_utils.py:336-341). Returns (T-2, J)."""
+    h = 1.0 / fps
+    accel = (joints[:-2] - 2.0 * joints[1:-1] + joints[2:]) / (h * h)
+    return np.linalg.norm(accel, axis=-1)
+
+
+def compute_toe_floor_pen(joints: np.ndarray,
+                          floor_plane: Optional[np.ndarray] = None,
+                          thresh_list: Sequence[float] = GRND_PEN_THRESH_LIST
+                          ):
+    """Toe-below-floor counts per threshold + penetration distances
+    (eval_utils.py:343-380). joints: (T, J, 3) SMPL joints; floor_plane:
+    (4,) (a,b,c,d). The signed height s follows the reference's ray cast
+    along -normal: s = n.p - d (z for the canonical floor)."""
+    if floor_plane is None:
+        floor_plane = np.array([0.0, 0.0, 1.0, 0.0])
+    toes = joints[:, [10, 11], :].reshape(-1, 3)
+    n = floor_plane[:3] / np.linalg.norm(floor_plane[:3])
+    s = toes @ n - floor_plane[3]
+    num_pen = [int(np.sum(s < -t)) for t in thresh_list]
+    pen_dist = -s[s < 0] if np.any(s < 0) else np.zeros((0,))
+    return num_pen, int(s.shape[0]), pen_dist
+
+
+def quant_eval_3d(pred: Dict[str, np.ndarray], gt: Dict[str, np.ndarray],
+                  obs: Optional[Dict[str, np.ndarray]] = None
+                  ) -> Dict[str, np.ndarray]:
+    """One sequence's quantitative 3D metrics (eval_utils.py:71-135).
+
+    pred/gt: {'joints3d': (T, 22, 3), 'verts3d': (T, K, 3),
+    'mesh3d': (T, V, 3), 'contacts': (T, >=22)}; obs optionally holds the
+    observed modality with inf marking occluded points — errors are split
+    into <mod>_vis / <mod>_occ exactly like the reference.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for mod in ("joints3d", "verts3d", "mesh3d"):
+        err = np.linalg.norm(pred[mod] - gt[mod], axis=-1)
+        out[mod + "_all"] = err
+        if mod == "joints3d":
+            out["joints3d_ee"] = np.linalg.norm(
+                pred[mod][:, EE_INDS] - gt[mod][:, EE_INDS], axis=-1)
+            out["joints3d_legs"] = np.linalg.norm(
+                pred[mod][:, LEGS_INDS] - gt[mod][:, LEGS_INDS], axis=-1)
+        if obs is not None and mod in obs:
+            invis = np.isinf(obs[mod])[..., 0]
+            vis = ~invis
+            d = np.linalg.norm(pred[mod] - gt[mod], axis=-1)
+            out[mod + "_vis"] = d[vis]
+            out[mod + "_occ"] = d[invis]
+
+    out["accel_mag"] = compute_joint_accel(pred["joints3d"])
+
+    num_pen, num_tot, pen_dist = compute_toe_floor_pen(pred["joints3d"])
+    out["ground_pen_dist"] = pen_dist
+    for t, n in zip(GRND_PEN_THRESH_LIST, num_pen):
+        out[get_grnd_pen_key(t)] = np.asarray(n)
+        out[get_grnd_pen_key(t) + "_cnt"] = np.asarray(num_tot)
+
+    pc = pred["contacts"][:, list(CONTACT_INDS)]
+    gc = gt["contacts"][:, list(CONTACT_INDS)]
+    out["contact_acc"] = np.asarray(int(np.sum((pc - gc) == 0)))
+    out["contact_acc_cnt"] = np.asarray(pc.shape[0] * pc.shape[1])
+    return out
+
+
+def _is_frac_key(k: str) -> bool:
+    return k.endswith("_cnt")
+
+
+def aggregate_fitting_eval(per_seq: List[Dict[str, np.ndarray]]
+                           ) -> Dict[str, Dict[str, float]]:
+    """Aggregate per-sequence metric dicts into the reference's stat table
+    (eval_fitting_3d.py:330-452): array metrics -> mean/std/median/max/min
+    over ALL elements pooled across sequences; count-pair metrics
+    (X + X_cnt) -> pooled ratio in 'mean' with -1 sentinels elsewhere;
+    plus the two supplemental ground-penetration values.
+    """
+    keys = [k for k in per_seq[0] if not _is_frac_key(k)]
+    agg: Dict[str, Dict[str, float]] = {}
+    for k in keys:
+        if (k + "_cnt") in per_seq[0]:
+            val = float(sum(float(d[k]) for d in per_seq))
+            cnt = float(sum(float(d[k + "_cnt"]) for d in per_seq))
+            agg[k] = {"mean": val / cnt if cnt else 0.0, "std": -1.0,
+                      "median": -1.0, "max": -1.0, "min": -1.0}
+        else:
+            arr = np.concatenate([np.ravel(d[k]) for d in per_seq])
+            if arr.size == 0:
+                arr = np.zeros((1,))
+            agg[k] = {"mean": float(arr.mean()), "std": float(arr.std()),
+                      "median": float(np.median(arr)),
+                      "max": float(arr.max()), "min": float(arr.min())}
+    # supplemental values (eval_fitting_3d.py:438-452)
+    pen0 = agg[get_grnd_pen_key(0.0)]["mean"]
+    agg["ground_pen_dist_normalized"] = {
+        "mean": agg["ground_pen_dist"]["mean"] * pen0, "std": -1.0,
+        "median": agg["ground_pen_dist"]["median"] * pen0, "max": -1.0,
+        "min": -1.0}
+    mean_frac = float(np.mean([agg[get_grnd_pen_key(t)]["mean"]
+                               for t in GRND_PEN_THRESH_LIST]))
+    agg["ground_pen_mean_agg_frac"] = {"mean": mean_frac, "std": -1.0,
+                                       "median": -1.0, "max": -1.0,
+                                       "min": -1.0}
+    return agg
+
+
+def per_seq_means(per_seq: List[Dict[str, np.ndarray]]
+                  ) -> List[Dict[str, float]]:
+    """Per-sequence mean rows (eval_fitting_3d.py:398-427): array metrics
+    mean over the sequence; count pairs as per-sequence ratios."""
+    rows = []
+    for d in per_seq:
+        row = {}
+        for k, v in d.items():
+            if _is_frac_key(k):
+                continue
+            if (k + "_cnt") in d:
+                c = float(d[k + "_cnt"])
+                row[k] = float(v) / c if c else 0.0
+            else:
+                a = np.ravel(v)
+                row[k] = float(a.mean()) if a.size else 0.0
+        rows.append(row)
+    return rows
+
+
+def write_fitting_eval_csvs(out_dir: str,
+                            results: Dict[str, List[Dict[str, np.ndarray]]],
+                            seq_names: List[str]) -> None:
+    """Write the reference CSV family (eval_fitting_3d.py:459-492):
+    <method>_per_seq_mean.csv, <method>_agg_{mean,std,median,max,min}.csv
+    and compare_{mean,max,median}.csv across methods. `results` maps
+    method/stage name -> list of per-sequence quant_eval_3d dicts."""
+    os.makedirs(out_dir, exist_ok=True)
+    compare: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for name, per_seq in results.items():
+        rows = per_seq_means(per_seq)
+        cols = list(rows[0].keys())
+        with open(os.path.join(out_dir, f"{name}_per_seq_mean.csv"),
+                  "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seq_name"] + cols)
+            for sn, row in zip(seq_names, rows):
+                w.writerow([sn] + [row[c] for c in cols])
+
+        agg = aggregate_fitting_eval(per_seq)
+        compare[name] = agg
+        out_vals = list(agg.keys())
+        for stat in ("mean", "std", "median", "max", "min"):
+            with open(os.path.join(out_dir, f"{name}_agg_{stat}.csv"),
+                      "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(out_vals)
+                w.writerow([agg[k][stat] for k in out_vals])
+
+    out_vals = list(next(iter(compare.values())).keys())
+    for stat in ("mean", "max", "median"):
+        with open(os.path.join(out_dir, f"compare_{stat}.csv"),
+                  "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["method"] + out_vals)
+            for name, agg in compare.items():
+                w.writerow([name] + [agg[k][stat] for k in out_vals])
