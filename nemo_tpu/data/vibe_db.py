@@ -266,3 +266,80 @@ def read_penn_action(folder: str) -> VibeDbBuilder:
                        img_names=img_names,
                        valid=conf.any(1).astype(np.float32))
     return b
+
+
+# ---------------------------------------------------------------------------
+# 2D/3D mixed-batch training feed (VIBE/lib/dataset/loaders.py:22-61 +
+# lib/core/trainer.py:140-177)
+# ---------------------------------------------------------------------------
+
+def split_2d3d_batch_sizes(batch_size: int, data_2d_ratio: float
+                           ) -> Tuple[int, int]:
+    """(2d, 3d) per-iteration batch sizes (loaders.py:41-42:
+    int(BATCH_SIZE * DATA_2D_RATIO) / remainder)."""
+    b2d = int(batch_size * data_2d_ratio)
+    return b2d, batch_size - b2d
+
+
+def merge_2d3d_batch(b2d: Optional[Dict[str, np.ndarray]],
+                     b3d: Optional[Dict[str, np.ndarray]]
+                     ) -> Dict[str, np.ndarray]:
+    """Concatenate a 2D-supervision batch and a 3D batch along the batch
+    axis into ONE train-step batch (trainer.py:171-177 torch.cat of the
+    features; the criterion's separate data_2d/data_3d handling becomes
+    the has_3d/has_smpl masks the repo's vibe_generator_loss consumes).
+
+    2D batches may omit kp_3d/pose/betas — zero-filled from the 3D batch's
+    trailing shapes with zeroed masks. Either input may be None
+    (3D-only / 2D-only training configs, trainer.py:142/151).
+    """
+    if b2d is None and b3d is None:
+        raise ValueError("need at least one of b2d/b3d")
+
+    def with_masks(b, is_3d):
+        b = dict(b)
+        B, T = b["features"].shape[:2]
+        b.setdefault("has_3d", np.full((B, T), float(is_3d), np.float32))
+        b.setdefault("has_smpl", np.full((B, T), float(is_3d), np.float32))
+        return b
+
+    if b2d is None:
+        return with_masks(b3d, True)
+    if b3d is None:
+        return with_masks(b2d, False)
+    b2d, b3d = with_masks(b2d, False), with_masks(b3d, True)
+    B2, T = b2d["features"].shape[:2]
+    out = {}
+    for k in b3d:
+        if k not in b2d:  # kp_3d / pose / betas absent on the 2D side
+            fill = np.zeros((B2,) + b3d[k].shape[1:], b3d[k].dtype)
+            out[k] = np.concatenate([fill, np.asarray(b3d[k])], axis=0)
+        else:
+            out[k] = np.concatenate([np.asarray(b2d[k]),
+                                     np.asarray(b3d[k])], axis=0)
+    return out
+
+
+def mixed_2d3d_iterator(make_2d_iter, make_3d_iter, num_steps: int):
+    """Yield num_steps merged batches, re-creating either iterator when it
+    exhausts — the reference's StopIteration-reset pattern
+    (trainer.py:140-158). make_*_iter: callables returning fresh iterators
+    (or None for a modality that isn't trained)."""
+    it2d = make_2d_iter() if make_2d_iter is not None else None
+    it3d = make_3d_iter() if make_3d_iter is not None else None
+
+    def pull(it, make):
+        nonlocal_self = it
+        try:
+            return next(nonlocal_self), nonlocal_self
+        except StopIteration:
+            fresh = make()
+            return next(fresh), fresh
+
+    for _ in range(num_steps):
+        b2d = b3d = None
+        if it2d is not None:
+            b2d, it2d = pull(it2d, make_2d_iter)
+        if it3d is not None:
+            b3d, it3d = pull(it3d, make_3d_iter)
+        yield merge_2d3d_batch(b2d, b3d)

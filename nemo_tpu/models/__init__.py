@@ -18,6 +18,8 @@ from .humor_loss import (HumorLossConfig, humor_full_loss, humor_loss_terms,
 from .humor_eval import (humor_eval_full_test, humor_eval_metrics,
                          humor_eval_recon, humor_eval_sampling)
 from .humor_fit import MotionOptConfig, humor_motion_fit
+from .humor_state_prior import (fit_state_prior_gmm, save_state_prior_gmm,
+                                states_from_sequences)
 from .humor_fit_eval import (aggregate_fitting_eval, compute_joint_accel,
                              compute_toe_floor_pen, per_seq_means,
                              quant_eval_3d, write_fitting_eval_csvs)
@@ -54,6 +56,7 @@ __all__ = [
     "MotionOptConfig", "humor_motion_fit", "aggregate_fitting_eval",
     "compute_joint_accel", "compute_toe_floor_pen", "per_seq_means",
     "quant_eval_3d", "write_fitting_eval_csvs", "humor_eval_metrics",
+    "fit_state_prior_gmm", "save_state_prior_gmm", "states_from_sequences",
     "humor_eval_full_test", "humor_eval_sampling", "humor_eval_recon",
     "VibeLossWeights", "init_motion_discriminator", "init_self_attention",
     "self_attention",

@@ -228,3 +228,53 @@ class TestVibeCheckpointAndEvaluator:
             real_motion_batches=lambda: iter([real]),
             epochs=1, debug_viz_every=1, debug_viz_dir=str(tmp_path))
         assert os.path.exists(tmp_path / "debug_epoch0000.png")
+
+
+class TestMixed2d3dFeed:
+    """loaders.py:22-61 + trainer.py:140-177 batch mixing."""
+
+    def _b2d(self, B, T=4):
+        rng = np.random.default_rng(B)
+        return {"features": rng.standard_normal((B, T, 16)).astype(np.float32),
+                "kp_2d": rng.standard_normal((B, T, 49, 3)).astype(np.float32)}
+
+    def _b3d(self, B, T=4):
+        rng = np.random.default_rng(100 + B)
+        return {"features": rng.standard_normal((B, T, 16)).astype(np.float32),
+                "kp_2d": rng.standard_normal((B, T, 49, 3)).astype(np.float32),
+                "kp_3d": rng.standard_normal((B, T, 14, 3)).astype(np.float32),
+                "pose": rng.standard_normal((B, T, 72)).astype(np.float32),
+                "betas": rng.standard_normal((B, T, 10)).astype(np.float32)}
+
+    def test_split_sizes(self):
+        from nemo_tpu.data.vibe_db import split_2d3d_batch_sizes
+        assert split_2d3d_batch_sizes(32, 0.6) == (19, 13)
+        assert split_2d3d_batch_sizes(32, 0.0) == (0, 32)
+
+    def test_merge(self):
+        from nemo_tpu.data.vibe_db import merge_2d3d_batch
+        m = merge_2d3d_batch(self._b2d(3), self._b3d(5))
+        assert m["features"].shape[0] == 8
+        assert m["kp_3d"].shape == (8, 4, 14, 3)
+        # 2D rows: zero-filled 3D supervision + zero masks (criterion's
+        # data_2d/data_3d split as masks)
+        assert np.all(m["kp_3d"][:3] == 0) and np.all(m["pose"][:3] == 0)
+        assert np.all(m["has_3d"][:3] == 0) and np.all(m["has_3d"][3:] == 1)
+        assert np.all(m["has_smpl"][:3] == 0)
+        np.testing.assert_array_equal(m["features"][:3],
+                                      self._b2d(3)["features"])
+
+    def test_merge_single_modality(self):
+        from nemo_tpu.data.vibe_db import merge_2d3d_batch
+        m3 = merge_2d3d_batch(None, self._b3d(4))
+        assert np.all(m3["has_3d"] == 1)
+        m2 = merge_2d3d_batch(self._b2d(4), None)
+        assert np.all(m2["has_3d"] == 0) and "kp_3d" not in m2
+
+    def test_iterator_auto_resets(self):
+        from nemo_tpu.data.vibe_db import mixed_2d3d_iterator
+        make2d = lambda: iter([self._b2d(2), self._b2d(2)])  # len 2
+        make3d = lambda: iter([self._b3d(3)] * 5)            # len 5
+        batches = list(mixed_2d3d_iterator(make2d, make3d, 5))
+        assert len(batches) == 5  # 2D side reset twice (StopIteration)
+        assert all(b["features"].shape[0] == 5 for b in batches)
