@@ -22,7 +22,8 @@ from .humor_state_prior import (fit_state_prior_gmm, save_state_prior_gmm,
                                 states_from_sequences)
 from .humor_fit_eval import (aggregate_fitting_eval, compute_joint_accel,
                              compute_toe_floor_pen, per_seq_means,
-                             quant_eval_3d, write_fitting_eval_csvs)
+                             quant_eval_2d, quant_eval_3d,
+                             write_fitting_eval_csvs)
 from .vibe_train import (VibeLossWeights, compute_accel,
                          compute_error_accel, evaluate_vibe,
                          init_motion_discriminator, init_self_attention,
@@ -55,7 +56,7 @@ __all__ = [
     "vibe_trainer_fit",
     "MotionOptConfig", "humor_motion_fit", "aggregate_fitting_eval",
     "compute_joint_accel", "compute_toe_floor_pen", "per_seq_means",
-    "quant_eval_3d", "write_fitting_eval_csvs", "humor_eval_metrics",
+    "quant_eval_2d", "quant_eval_3d", "write_fitting_eval_csvs", "humor_eval_metrics",
     "fit_state_prior_gmm", "save_state_prior_gmm", "states_from_sequences",
     "humor_eval_full_test", "humor_eval_sampling", "humor_eval_recon",
     "VibeLossWeights", "init_motion_discriminator", "init_self_attention",

@@ -206,3 +206,96 @@ def write_fitting_eval_csvs(out_dir: str,
             w.writerow(["method"] + out_vals)
             for name, agg in compare.items():
                 w.writerow([name] + [agg[k][stat] for k in out_vals])
+
+
+# ---------------------------------------------------------------------------
+# RGB(-D) fitting eval against the comparison 12-joint skeleton
+# (eval_utils.py:137-288 + the iMapper/SMPL maps :374-389)
+# ---------------------------------------------------------------------------
+
+IMW, IMH = 1920, 1080  # eval_utils.py:22 (all RGB eval data)
+
+# SMPL joint ids -> comparison order [RANK RKNE LKNE LANK PELV THRX RWRI
+# RELB RSHO LSHO LELB LWRI] (eval_utils.py:385-389)
+SMPL2COMPARE = (8, 5, 4, 7, 0, 12, 21, 19, 17, 16, 18, 20)
+# imapper gt 16-joint ids -> the same comparison order (:374-375)
+IMAP2COMPARE = (0, 1, 4, 5, 6, 7, 10, 11, 12, 13, 14, 15)
+COMP_ROOT_IDX = 4  # PELV
+COMP_EE_INDS = (0, 3, 6, 11)    # RANK LANK RWRI LWRI (:322-324)
+COMP_LEGS_INDS = (0, 3, 1, 2)   # RANK LANK RKNE LKNE (:325-327)
+
+
+def perspective_project(points: np.ndarray, focal, center) -> np.ndarray:
+    """Pinhole projection of (T, J, 3) camera-frame points
+    (fitting_utils.py perspective_projection with identity R, zero t)."""
+    uv = points[..., :2] / points[..., 2:3]
+    return uv * np.asarray(focal)[None, None] + np.asarray(center)[None,
+                                                                   None]
+
+
+def quant_eval_2d(pred_joints_smpl: np.ndarray,
+                  floor_plane: Optional[np.ndarray] = None,
+                  pred_joints_comp: Optional[np.ndarray] = None,
+                  gt_joints_comp: Optional[np.ndarray] = None,
+                  vis_mask: Optional[np.ndarray] = None,
+                  cam_intrins: Optional[Sequence[float]] = None,
+                  imw: int = IMW, imh: int = IMH
+                  ) -> Dict[str, np.ndarray]:
+    """One sequence's RGB fitting metrics (eval_utils.py:137-288).
+
+    Always: joint-acceleration magnitude (absolute + root-aligned) and
+    toe-floor penetration of the SMPL joints. With comparison-skeleton
+    joints (pred/gt (T, 12, 3), inf marking missing GT frames): MPJPE
+    all/ee/legs, root(PELV)-aligned variants, and — given per-frame
+    person-mask images (T, H, W) + (fx, fy, cx, cy) — visible/occluded
+    splits by projecting the GT joints into the masks.
+    """
+    out: Dict[str, np.ndarray] = {}
+    do_comp = pred_joints_comp is not None and gt_joints_comp is not None
+    if do_comp:
+        T, J, _ = gt_joints_comp.shape
+        invalid = np.isinf(gt_joints_comp).sum(axis=(1, 2))
+        valid = invalid < J * 3
+        p = pred_joints_comp[valid]
+        g = gt_joints_comp[valid]
+        out["joints3d_all"] = np.linalg.norm(p - g, axis=-1)
+        out["joints3d_ee"] = np.linalg.norm(
+            p[:, COMP_EE_INDS] - g[:, COMP_EE_INDS], axis=-1)
+        out["joints3d_legs"] = np.linalg.norm(
+            p[:, COMP_LEGS_INDS] - g[:, COMP_LEGS_INDS], axis=-1)
+
+        pa = p - p[:, COMP_ROOT_IDX:COMP_ROOT_IDX + 1]
+        ga = g - g[:, COMP_ROOT_IDX:COMP_ROOT_IDX + 1]
+        out["joints3d_align_all"] = np.linalg.norm(pa - ga, axis=-1)
+        out["joints3d_align_ee"] = np.linalg.norm(
+            pa[:, COMP_EE_INDS] - ga[:, COMP_EE_INDS], axis=-1)
+        out["joints3d_align_legs"] = np.linalg.norm(
+            pa[:, COMP_LEGS_INDS] - ga[:, COMP_LEGS_INDS], axis=-1)
+
+        if vis_mask is not None and cam_intrins is not None:
+            masks = vis_mask[valid]
+            uv = np.round(perspective_project(
+                g, cam_intrins[:2], cam_intrins[2:])).astype(int)
+            uv[..., 0] = np.clip(uv[..., 0], 0, imw - 1)
+            uv[..., 1] = np.clip(uv[..., 1], 0, imh - 1)
+            occ = np.stack([masks[t][uv[t, :, 1], uv[t, :, 0]] == 1
+                            for t in range(g.shape[0])])
+            vis = ~occ
+            d = np.linalg.norm(p - g, axis=-1)
+            da = np.linalg.norm(pa - ga, axis=-1)
+            out["joints3d_vis"] = d[vis]
+            out["joints3d_occ"] = d[occ]
+            out["joints3d_align_vis"] = da[vis]
+            out["joints3d_align_occ"] = da[occ]
+
+    out["accel_mag"] = compute_joint_accel(pred_joints_smpl)
+    aligned = pred_joints_smpl - pred_joints_smpl[:, 0:1, :]
+    out["accel_mag_align"] = compute_joint_accel(aligned)
+
+    num_pen, num_tot, pen_dist = compute_toe_floor_pen(pred_joints_smpl,
+                                                       floor_plane)
+    out["ground_pen_dist"] = pen_dist
+    for t, n in zip(GRND_PEN_THRESH_LIST, num_pen):
+        out[get_grnd_pen_key(t)] = np.asarray(n)
+        out[get_grnd_pen_key(t) + "_cnt"] = np.asarray(num_tot)
+    return out

@@ -211,3 +211,71 @@ class TestAggregation:
         col = rows[0].index("joints3d_all")
         assert float(rows[1][col]) == pytest.approx(
             agg["joints3d_all"]["mean"])
+
+
+class TestQuantEval2dOracle:
+    def test_parity_with_occlusion_split(self, ref):
+        from nemo_tpu.models.humor_fit_eval import quant_eval_2d
+
+        rng = np.random.default_rng(5)
+        T = 9
+        pred_smpl = rng.standard_normal((T, 22, 3)).astype(np.float32)
+        # camera-frame comparison joints in front of the camera (z > 0)
+        pred_comp = rng.standard_normal((T, 12, 3)).astype(np.float32)
+        gt_comp = rng.standard_normal((T, 12, 3)).astype(np.float32)
+        pred_comp[..., 2] += 4.0
+        gt_comp[..., 2] += 4.0
+        gt_comp[2] = np.inf  # one missing GT frame (valid-frame mask path)
+        imw, imh = 64, 48
+        cam = (40.0, 40.0, imw / 2.0, imh / 2.0)
+        vis_mask = (rng.uniform(size=(T, imh, imw)) < 0.4).astype(np.uint8)
+        floor = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+
+        keys = ["joints3d_all", "joints3d_ee", "joints3d_legs",
+                "joints3d_align_all", "joints3d_align_ee",
+                "joints3d_align_legs", "joints3d_vis", "joints3d_occ",
+                "joints3d_align_vis", "joints3d_align_occ", "accel_mag",
+                "accel_mag_align", "ground_pen_dist"]
+        theirs: dict = {k: [] for k in keys}
+        for t in ref.GRND_PEN_THRESH_LIST:
+            theirs[ref.get_grnd_pen_key(t)] = []
+            theirs[ref.get_grnd_pen_key(t) + "_cnt"] = []
+        # reference clips projected pixels to its global IMW/IMH; monkeypatch
+        # them to the toy image so the occlusion lookup is in range
+        old_w, old_h = ref.IMW, ref.IMH
+        ref.IMW, ref.IMH = imw, imh
+        try:
+            ref.quant_eval_2d(theirs, torch.tensor(pred_smpl),
+                              torch.tensor(floor),
+                              pred_joints_comp=torch.tensor(pred_comp),
+                              gt_joints_comp=torch.tensor(gt_comp),
+                              vis_mask=vis_mask, cam_intrins=cam)
+        finally:
+            ref.IMW, ref.IMH = old_w, old_h
+
+        ours = quant_eval_2d(pred_smpl, floor, pred_comp, gt_comp,
+                             vis_mask, cam, imw=imw, imh=imh)
+
+        for k, v in theirs.items():
+            assert k in ours, k
+            rv = v[0]
+            if torch.is_tensor(rv):
+                rv = rv.numpy()
+            np.testing.assert_allclose(
+                np.ravel(np.asarray(ours[k], np.float64)),
+                np.ravel(np.asarray(rv, np.float64)), atol=1e-4,
+                err_msg=k)
+
+    def test_smpl2compare_map(self, ref):
+        from nemo_tpu.models.humor_fit_eval import (COMP_EE_INDS,
+                                                    COMP_LEGS_INDS,
+                                                    COMP_ROOT_IDX,
+                                                    IMAP2COMPARE,
+                                                    SMPL2COMPARE)
+        assert list(SMPL2COMPARE) == list(ref.SMPL2COMPARE)
+        assert list(IMAP2COMPARE) == list(ref.IMAP2COMPARE)
+        assert COMP_ROOT_IDX == ref.COMP_ROOT_IDX
+        assert list(COMP_EE_INDS) == [ref.COMP_JOINTS[j] for j in
+                                      ("RANK", "LANK", "RWRI", "LWRI")]
+        assert list(COMP_LEGS_INDS) == [ref.COMP_JOINTS[j] for j in
+                                        ("RANK", "LANK", "RKNE", "LKNE")]
