@@ -299,3 +299,127 @@ def quant_eval_2d(pred_joints_smpl: np.ndarray,
         out[get_grnd_pen_key(t)] = np.asarray(n)
         out[get_grnd_pen_key(t) + "_cnt"] = np.asarray(num_tot)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Results-directory layer (run_fitting.py --save-results layout,
+# fitting_utils.py:270-390 save_rgb_stabilized_results/save_amass_results +
+# the walk of eval_fitting_3d.py:82-200)
+# ---------------------------------------------------------------------------
+
+GT_RES_NAME = "gt_results"            # eval_fitting_3d.py:29-32
+PRED_RES_NAME = "stage3_results"
+STAGES_RES_NAMES = ("stage1_results", "stage2_results",
+                    "stage3_init_results")
+OBS_NAME = "observations"
+
+# the 43 virtual-marker "keypoint" vertex ids (body_model/utils.py:17-19)
+KEYPT_VERTS = (4404, 920, 3076, 3169, 823, 4310, 1010, 1085, 4495, 4569,
+               6615, 3217, 3313, 6713, 6785, 3383, 6607, 3207, 1241, 1508,
+               4797, 4122, 1618, 1569, 5135, 5040, 5691, 5636, 5404, 2230,
+               2173, 2108, 134, 3645, 6543, 3123, 3024, 4194, 1306, 182,
+               3694, 4294, 744)
+
+
+def save_fitting_results(result_dir: str, stage3: Dict[str, np.ndarray],
+                         gt: Optional[Dict[str, np.ndarray]] = None,
+                         observations: Optional[Dict[str, np.ndarray]]
+                         = None,
+                         stages: Optional[Dict[str, Dict[str, np.ndarray]]]
+                         = None,
+                         optim_bm: str = "neutral",
+                         gt_bm: str = "neutral") -> None:
+    """Write one sequence's result directory in the reference layout:
+    stage3_results.npz {betas, trans, root_orient, pose_body[, contacts,
+    floor_plane]}, gt_results.npz, observations.npz, optional
+    stage*_results.npz, and the two-line meta.txt
+    (run_fitting.py:378-384)."""
+    os.makedirs(result_dir, exist_ok=True)
+    np.savez(os.path.join(result_dir, PRED_RES_NAME + ".npz"), **stage3)
+    if gt is not None:
+        np.savez(os.path.join(result_dir, GT_RES_NAME + ".npz"), **gt)
+    if observations is not None:
+        np.savez(os.path.join(result_dir, OBS_NAME + ".npz"),
+                 **observations)
+    if stages:
+        for name, payload in stages.items():
+            np.savez(os.path.join(result_dir, name + ".npz"), **payload)
+    with open(os.path.join(result_dir, "meta.txt"), "w") as f:
+        f.write("optim_bm %s\n" % optim_bm)
+        f.write("gt_bm %s\n" % gt_bm)
+
+
+def load_fitting_results(result_dir: str, name: str
+                         ) -> Optional[Dict[str, np.ndarray]]:
+    """load_res (eval_fitting_3d.py:load_res): npz -> dict or None."""
+    path = os.path.join(result_dir, name + ".npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        return {k: np.asarray(data[k]) for k in data.files}
+
+
+def eval_fitting_results_dirs(results_root: str, out_dir: str, smpl_fn,
+                              eval_stages: bool = False) -> List[str]:
+    """Walk per-sequence result dirs, reconstruct SMPL bodies, run
+    quant_eval_3d, and write the CSV family — the quantitative half of
+    eval_fitting_3d.py main (:82-260, render/qual paths excluded).
+
+    smpl_fn(trans (T,3), root_orient_aa (T,3), pose_body_aa (T,63),
+    betas (T or 1, B)) -> (joints (T, >=22, 3), verts (T, V>=6890, 3)).
+    Returns the evaluated sequence names.
+    """
+    dirs = sorted(d for d in os.listdir(results_root)
+                  if not d.startswith(".")
+                  and os.path.isdir(os.path.join(results_root, d)))
+    results: Dict[str, List[Dict[str, np.ndarray]]] = {PRED_RES_NAME: []}
+    if eval_stages:
+        for s in STAGES_RES_NAMES:
+            results[s] = []
+    seq_names: List[str] = []
+
+    def bodies(res, T):
+        betas = np.asarray(res["betas"])
+        if betas.ndim == 1:
+            betas = np.broadcast_to(betas[None], (T, betas.shape[0]))
+        joints, verts = smpl_fn(res["trans"], res["root_orient"],
+                                res["pose_body"], betas)
+        joints = np.asarray(joints)[:, :22]
+        verts = np.asarray(verts)
+        return {"joints3d": joints, "verts3d": verts[:, list(KEYPT_VERTS)],
+                "mesh3d": verts}
+
+    for seq in dirs:
+        rd = os.path.join(results_root, seq)
+        gt_res = load_fitting_results(rd, GT_RES_NAME)
+        pred_res = load_fitting_results(rd, PRED_RES_NAME)
+        if gt_res is None or pred_res is None:
+            continue  # skip like the reference (:104-115)
+        T = gt_res["trans"].shape[0]
+        # NaN predictions -> zeros (:116-127)
+        for k in ("trans", "root_orient", "pose_body", "betas"):
+            if not np.all(np.isfinite(pred_res[k])):
+                pred_res[k] = np.zeros_like(pred_res[k])
+        obs = load_fitting_results(rd, OBS_NAME)
+        gt_eval = bodies(gt_res, T)
+        gt_eval["contacts"] = gt_res.get(
+            "contacts", np.zeros((T, 22), np.float32))
+        seq_names.append(seq)
+
+        todo = [(PRED_RES_NAME, pred_res)]
+        if eval_stages:
+            todo += [(s, load_fitting_results(rd, s))
+                     for s in STAGES_RES_NAMES]
+        for name, res in todo:
+            if res is None:
+                continue
+            pred_eval = bodies(res, T)
+            # stages carry no contacts; reuse stage-3's (:240-244)
+            pred_eval["contacts"] = pred_res.get(
+                "contacts", gt_eval["contacts"])
+            results[name].append(quant_eval_3d(pred_eval, gt_eval, obs))
+
+    write_fitting_eval_csvs(out_dir,
+                            {k: v for k, v in results.items() if v},
+                            seq_names)
+    return seq_names

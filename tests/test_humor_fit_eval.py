@@ -279,3 +279,62 @@ class TestQuantEval2dOracle:
                                       ("RANK", "LANK", "RWRI", "LWRI")]
         assert list(COMP_LEGS_INDS) == [ref.COMP_JOINTS[j] for j in
                                         ("RANK", "LANK", "RKNE", "LKNE")]
+
+
+class TestResultsDirs:
+    def _toy_smpl(self, trans, orient, pose, betas):
+        T = trans.shape[0]
+        base = trans[:, None, :] + 0.1 * orient[:, None, :]
+        joints = base + np.arange(24)[None, :, None] * 0.05
+        verts = (base + np.arange(6890)[None, :, None] * 1e-4
+                 + pose.reshape(T, 21, 3).mean(1, keepdims=True))
+        return joints, verts
+
+    def _payload(self, rng, T=6):
+        return {"trans": rng.standard_normal((T, 3)).astype(np.float32),
+                "root_orient": rng.standard_normal((T, 3))
+                .astype(np.float32),
+                "pose_body": rng.standard_normal((T, 63))
+                .astype(np.float32),
+                "betas": rng.standard_normal(16).astype(np.float32),
+                "contacts": (rng.uniform(size=(T, 22)) > 0.5)
+                .astype(np.float32)}
+
+    def test_save_load_walk_eval(self, tmp_path):
+        from nemo_tpu.models.humor_fit_eval import (
+            GT_RES_NAME, PRED_RES_NAME, eval_fitting_results_dirs,
+            load_fitting_results, save_fitting_results)
+        import os
+        rng = np.random.default_rng(7)
+        root = str(tmp_path / "results")
+        for i in range(2):
+            gt = self._payload(rng)
+            pred = self._payload(rng) if i == 0 else {
+                k: v.copy() for k, v in gt.items()}  # seq 1: perfect fit
+            save_fitting_results(os.path.join(root, f"seq_{i}_000"),
+                                 pred, gt=gt)
+
+        back = load_fitting_results(os.path.join(root, "seq_0_000"),
+                                    PRED_RES_NAME)
+        assert set(back) >= {"trans", "root_orient", "pose_body", "betas"}
+        assert load_fitting_results(os.path.join(root, "seq_0_000"),
+                                    "missing_name") is None
+
+        out = str(tmp_path / "eval_quant")
+        seqs = eval_fitting_results_dirs(root, out, self._toy_smpl)
+        assert seqs == ["seq_0_000", "seq_1_000"]
+        import csv as _csv
+        with open(os.path.join(
+                out, f"{PRED_RES_NAME}_per_seq_mean.csv")) as f:
+            rows = list(_csv.reader(f))
+        col = rows[0].index("joints3d_all")
+        assert float(rows[1][col]) > 0.0        # seq_0: real error
+        assert float(rows[2][col]) == pytest.approx(0.0, abs=1e-6)
+        # perfect fit also has perfect contact accuracy
+        ccol = rows[0].index("contact_acc")
+        assert float(rows[2][ccol]) == pytest.approx(1.0)
+        # meta.txt written in the reference's two-line format
+        with open(os.path.join(root, "seq_0_000", "meta.txt")) as f:
+            lines = f.read().splitlines()
+        assert lines[0].startswith("optim_bm ") and \
+            lines[1].startswith("gt_bm ")

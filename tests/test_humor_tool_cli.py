@@ -1,0 +1,85 @@
+"""Smoke tests for the HuMoR tool CLI (train / train-state-prior /
+fit-eval), the repo's counterpart of train_humor.py,
+train_state_prior.py, and eval_fitting_3d.py's quantitative path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nemo_tpu.cli.humor_tool import main
+
+
+class TestStatePriorCli:
+    def test_train_state_prior(self, tmp_path, capsys):
+        out = str(tmp_path / "prior")
+        rc = main(["train-state-prior", "--synthetic", "300",
+                   "--gmm_comps", "3", "--iters", "15", "--out", out])
+        assert rc == 0
+        path = os.path.join(out, "prior_gmm.npz")
+        assert os.path.exists(path)
+        with np.load(path) as d:
+            assert d["weights"].shape == (3,)
+            assert d["means"].shape == (3, 138)
+            assert d["covariances"].shape == (3, 138, 138)
+        # loadable by the fitting-stage consumer
+        from nemo_tpu.models.humor_fit import load_init_motion_prior
+        prior = load_init_motion_prior(path)
+        assert np.all(np.isfinite(np.asarray(prior["logdet"])))
+
+
+class TestFitEvalCli:
+    def test_fit_eval_synthetic_assets(self, tmp_path):
+        from nemo_tpu.models.humor_fit_eval import (PRED_RES_NAME,
+                                                    save_fitting_results)
+        rng = np.random.default_rng(0)
+        root = str(tmp_path / "results")
+        T = 4
+        for i in range(2):
+            payload = {
+                "trans": rng.standard_normal((T, 3)).astype(np.float32),
+                "root_orient": (rng.standard_normal((T, 3)) * 0.2)
+                .astype(np.float32),
+                "pose_body": (rng.standard_normal((T, 63)) * 0.1)
+                .astype(np.float32),
+                "betas": np.zeros(16, np.float32),
+                "contacts": np.zeros((T, 22), np.float32),
+            }
+            gt = {k: v.copy() for k, v in payload.items()}
+            save_fitting_results(os.path.join(root, f"seq_{i}"),
+                                 payload, gt=gt)
+        out = str(tmp_path / "eval")
+        rc = main(["fit-eval", "--results", root, "--out", out,
+                   "--synthetic_assets"])
+        assert rc == 0
+        import csv
+        with open(os.path.join(out,
+                               f"{PRED_RES_NAME}_per_seq_mean.csv")) as f:
+            rows = list(csv.reader(f))
+        assert len(rows) == 3  # header + 2 seqs
+        col = rows[0].index("joints3d_all")
+        # pred == gt through the same body model -> zero error
+        assert float(rows[1][col]) == pytest.approx(0.0, abs=1e-5)
+
+
+@pytest.mark.slow
+class TestTrainCli:
+    def test_train_synthetic_scheduled(self, tmp_path):
+        out = str(tmp_path / "run")
+        rc = main(["train", "--synthetic", "32", "--seq_len", "3",
+                   "--epochs", "2", "--batch_size", "16", "--out", out,
+                   "--sched_samp_start", "0", "--sched_samp_end", "2",
+                   "--sched_milestones", "1", "--sched_decay", "0.1"])
+        assert rc == 0
+        with open(os.path.join(out, "train_stats.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        assert len(rows) == 2
+        assert all(np.isfinite(r["loss"]) for r in rows)
+        assert rows[0]["update_skipped"] == 0.0
+        # MultiStepLR kicked in at epoch 1
+        assert rows[1]["lr"] == pytest.approx(rows[0]["lr"] * 0.1)
+        with np.load(os.path.join(out, "humor_params.npz")) as d:
+            assert any(k.startswith("encoder.") for k in d.files)
