@@ -334,7 +334,11 @@ def make_vibe_train_step(smpl, w: VibeLossWeights = VibeLossWeights(),
         return loss, (metrics, pred["pose_body_seq"])
 
     @jax.jit
-    def step(state, batch, real_motion, rng=None):
+    def step(state, batch, real_motion, rng=None, lr_scale=1.0):
+        # lr_scale: the ReduceLROnPlateau multiplier (train.py:119-133
+        # builds factor-0.1 plateau schedulers for BOTH optimizers stepped
+        # on the same eval metric, trainer.py:322-326). Pass a jnp scalar
+        # to avoid retraces.
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
@@ -342,11 +346,13 @@ def make_vibe_train_step(smpl, w: VibeLossWeights = VibeLossWeights(),
             gen_loss_fn, has_aux=True)(state["gen"], state["disc"], batch,
                                        r1)
         upd, gen_opt_state = gen_opt.update(g, state["gen_opt"])
+        upd = jax.tree.map(lambda u: lr_scale * u, upd)
         gen_params = optax.apply_updates(state["gen"], upd)
 
         d_loss, dg = jax.value_and_grad(vibe_discriminator_loss)(
             state["disc"], real_motion, fake_seq, disc_dropout, r2)
         dupd, disc_opt_state = disc_opt.update(dg, state["disc_opt"])
+        dupd = jax.tree.map(lambda u: lr_scale * u, dupd)
         disc_params = optax.apply_updates(state["disc"], dupd)
         metrics = dict(metrics, d_m_disc_loss=d_loss)
         return {"gen": gen_params, "disc": disc_params,
@@ -438,7 +444,9 @@ def vibe_trainer_fit(state, step_fn, smpl,
                      lr_patience: int = 5,
                      log_fn=print,
                      debug_viz_every: int = 0,
-                     debug_viz_dir: str = "") -> Tuple[dict, Dict[str, float]]:
+                     debug_viz_dir: str = "",
+                     mpjpe_abort: float = 0.0
+                     ) -> Tuple[dict, Dict[str, float]]:
     """Epoch loop: train over batches, validate, evaluate (Trainer.fit,
     trainer.py:314-344). Iterables are callables returning fresh iterators
     (the reference's re-created DataLoader iterators). Returns the final
@@ -450,12 +458,24 @@ def vibe_trainer_fit(state, step_fn, smpl,
     visualization hook (trainer.py:233,294 batch_visualize_vid_preds,
     lib/utils/vis.py:324; feature-based training has no video frames, so
     the panel plots the 2D keypoints in crop coordinates instead of
-    drawing on the frames)."""
+    drawing on the frames).
+
+    lr_patience drives the reference's twin ReduceLROnPlateau schedulers
+    (train.py:119-133, factor 0.1, stepped on the eval metric each epoch,
+    trainer.py:322-326) as a shared update scale passed into step_fn.
+    mpjpe_abort>0 reproduces the `performance > 80` abort
+    (trainer.py:342) at the given threshold (off by default: freshly
+    initialized nets legitimately start above any such bar)."""
+    import inspect
+
+    takes_lr = "lr_scale" in inspect.signature(step_fn).parameters
+    lr_scale, n_bad, plateau_best = 1.0, 0, float("inf")
     best = {"pa-mpjpe": float("inf")}
     for epoch in range(epochs):
         real_iter = iter(real_motion_batches()) \
             if real_motion_batches else None
         first_batch = None
+        scale_arr = jnp.asarray(lr_scale, jnp.float32)
         for batch in train_batches():
             if first_batch is None:
                 first_batch = batch
@@ -468,7 +488,11 @@ def vibe_trainer_fit(state, step_fn, smpl,
                 except StopIteration:
                     real_iter = iter(real_motion_batches())
                     real = next(real_iter)
-            state, metrics = step_fn(state, batch, real)
+            if takes_lr:
+                state, metrics = step_fn(state, batch, real,
+                                         lr_scale=scale_arr)
+            else:
+                state, metrics = step_fn(state, batch, real)
         if (debug_viz_every > 0 and debug_viz_dir
                 and epoch % debug_viz_every == 0 and first_batch is not None):
             from ..render.keypoints import render_vibe_debug_panel
@@ -486,7 +510,22 @@ def vibe_trainer_fit(state, step_fn, smpl,
             gts.append(np.asarray(vb["kp_3d"]).reshape(-1, 14, 3))
         perf = evaluate_vibe(np.concatenate(preds), np.concatenate(gts))
         log_fn(f"[vibe] epoch {epoch}: " + " ".join(
-            f"{k}={v:.2f}" for k, v in perf.items()))
+            f"{k}={v:.2f}" for k, v in perf.items())
+            + f" lr_scale={lr_scale:g}")
         if perf["pa-mpjpe"] < best["pa-mpjpe"]:
             best = perf
+        # ReduceLROnPlateau(mode=min, factor=0.1, threshold=1e-4)
+        p = perf["pa-mpjpe"]
+        if p < plateau_best * (1.0 - 1e-4):
+            plateau_best, n_bad = p, 0
+        else:
+            n_bad += 1
+            if n_bad > lr_patience:
+                lr_scale *= 0.1
+                n_bad = 0
+                log_fn(f"[vibe] plateau: lr_scale -> {lr_scale:g}")
+        if mpjpe_abort > 0 and perf["mpjpe"] > mpjpe_abort:
+            log_fn(f"[vibe] MPJPE {perf['mpjpe']:.1f} > {mpjpe_abort}; "
+                   "aborting (trainer.py:342)")
+            break
     return state, best

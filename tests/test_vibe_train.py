@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nemo_tpu.models import (
     init_motion_discriminator, make_discriminator_train_step,
@@ -278,3 +279,43 @@ class TestMixed2d3dFeed:
         batches = list(mixed_2d3d_iterator(make2d, make3d, 5))
         assert len(batches) == 5  # 2D side reset twice (StopIteration)
         assert all(b["features"].shape[0] == 5 for b in batches)
+
+
+class TestPlateauScheduler:
+    """train.py:119-133 ReduceLROnPlateau pair as a shared update scale."""
+
+    def test_lr_scale_decays_on_plateau(self):
+        from nemo_tpu.models.vibe_train import vibe_trainer_fit
+
+        seen = []
+
+        def step_fn(state, batch, real, lr_scale=None):
+            seen.append(float(lr_scale))
+            return state, {}
+
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((2, 3, 8)).astype(np.float32)
+        kp3 = rng.standard_normal((2, 3, 14, 3)).astype(np.float32)
+        batch = {"features": feats, "kp_3d": kp3}
+
+        class FakeSmpl:
+            pass
+
+        # constant eval performance -> plateau after patience epochs
+        import nemo_tpu.models.vibe_train as vt
+        orig = vt.vibe_predict
+        vt.vibe_predict = lambda gp, smpl, f, n_iter=3: {
+            "kp_2d": np.zeros((2, 3, 49, 2)), "kp_3d": kp3}
+        try:
+            vibe_trainer_fit({"gen": {}}, step_fn, FakeSmpl(),
+                             lambda: iter([batch]),
+                             valid_batches=lambda: iter([batch]),
+                             epochs=6, lr_patience=1, log_fn=lambda s: None)
+        finally:
+            vt.vibe_predict = orig
+        # epoch 0 improves (inf -> 0); epochs 1.. are flat: with patience 1
+        # the scale must have decayed at least once by epoch 5
+        assert seen[0] == 1.0
+        assert any(s < 1.0 for s in seen), seen
+        # factor-0.1 steps only: epochs 2/4 decay with patience 1
+        assert seen == pytest.approx([1.0, 1.0, 1.0, 0.1, 0.1, 0.01])
