@@ -1,9 +1,10 @@
 """CLI: HuMoR training / init-state prior / fitting-eval drivers.
 
-The reference splits these across three scripts:
-  * humor/humor/train/train_humor.py        -> `train`
-  * humor/humor/train/train_state_prior.py  -> `train-state-prior`
-  * humor/humor/fitting/eval_fitting_3d.py  -> `fit-eval`
+The reference splits these across four scripts:
+  * humor/humor/train/train_humor.py           -> `train`
+  * humor/humor/train/train_state_prior.py     -> `train-state-prior`
+  * humor/humor/fitting/eval_fitting_3d.py     -> `fit-eval`
+  * humor/humor/scripts/process_amass_data.py  -> `process-amass`
 
 Usage:
   python -m nemo_tpu.cli.humor_tool train --synthetic 2048 --epochs 3 \
@@ -19,7 +20,13 @@ Usage:
 loop (scheduled sampling, LR schedule, NaN guard, JSONL stats, params
 checkpoint) runs end-to-end without AMASS on disk; with real data, feed
 shards whose rows are (T+1)-frame aligned-local state windows via
---shards (data.sharded layout, key 'states').
+--shards (data.sharded layout, key 'states'), or point --amass at a
+`process-amass` output tree (windows assembled + canonicalized on the
+fly per --amass_split/--amass_stride).
+
+  python -m nemo_tpu.cli.humor_tool process-amass --amass_root raw/ \
+      --out processed/ [--datasets CMU KIT] [--smpl_path SMPL.npz] \
+      [--cleanup_backup removed/]
 """
 
 from __future__ import annotations
@@ -41,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train the HuMoR CVAE")
     t.add_argument("--shards", type=str, default="",
                    help="sharded dataset dir with 'states' (B, T+1, 207)")
+    t.add_argument("--amass", type=str, default="",
+                   help="processed AMASS root (process-amass output); "
+                        "windows assembled per --amass_split/--amass_stride")
+    t.add_argument("--amass_split", type=str, default="train",
+                   choices=["train", "val", "test", "all"])
+    t.add_argument("--amass_stride", type=int, default=10)
+    t.add_argument("--amass_max_windows", type=int, default=0)
     t.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic sequences instead of shards")
     t.add_argument("--seq_len", type=int, default=6,
@@ -81,6 +95,85 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--stages", action="store_true", default=False,
                    help="also evaluate stage*_results.npz like "
                         "--quant-stages")
+
+    fr = sub.add_parser(
+        "fit-rgb",
+        help="RGB video fitting driver: OpenPose keypoints -> 3-stage "
+             "HuMoR MotionOptimizer per overlapping subsequence -> "
+             "stitched final_results (run_fitting.py data_type=RGB)")
+    fr.add_argument("--joints2d", type=str, required=True,
+                    help="dir of OpenPose *_keypoints.json")
+    fr.add_argument("--out", type=str, required=True)
+    fr.add_argument("--img_dir", type=str, default="")
+    fr.add_argument("--masks", type=str, default="")
+    fr.add_argument("--mask_joints", action="store_true", default=False)
+    fr.add_argument("--planercnn", type=str, default="")
+    fr.add_argument("--intrinsics", type=str, default="",
+                    help="json 3x3 camera matrix; default: the reference's "
+                         "DEFAULT_FOCAL_LEN at the image center")
+    fr.add_argument("--im_dim", type=int, nargs=2, default=[1920, 1080])
+    fr.add_argument("--seq_len", type=int, default=60)
+    fr.add_argument("--overlap_len", type=int, default=10)
+    fr.add_argument("--smpl_path", type=str, default="")
+    fr.add_argument("--humor_ckpt", type=str, default="",
+                    help="humor params (.npz from `train` or torch ckpt); "
+                         "default: random init (smoke/debug)")
+    fr.add_argument("--init_motion_prior", type=str, default="",
+                    help="dir with prior_gmm.npz")
+    fr.add_argument("--latent_size", type=int, default=48)
+    fr.add_argument("--steps", type=int, nargs=3, default=[30, 80, 70],
+                    metavar=("S1", "S2", "S3"))
+    fr.add_argument("--lr", type=float, default=1e-2)
+    fr.add_argument("--cam_t", type=float, nargs=3, default=[0.0, 0.0, 2.5])
+    fr.add_argument("--seed", type=int, default=0)
+
+    fa = sub.add_parser(
+        "fit-amass",
+        help="3D fitting on processed AMASS: noisy/partial observations "
+             "(amass_fit_observations) -> 3-stage HuMoR fit with the "
+             "obs3d energies -> result dirs + eval CSV family "
+             "(run_fitting.py data_type=AMASS + eval_fitting_3d.py)")
+    fa.add_argument("--amass", type=str, required=True,
+                    help="processed AMASS root (process-amass output) or "
+                         "a single sequence npz")
+    fa.add_argument("--out", type=str, required=True)
+    fa.add_argument("--split", type=str, default="test",
+                    choices=["train", "val", "test", "all"])
+    fa.add_argument("--seq_len", type=int, default=60)
+    fa.add_argument("--max_seqs", type=int, default=0)
+    fa.add_argument("--obs", type=str, nargs="+", default=["verts"],
+                    choices=["joints", "verts", "points"],
+                    help="observation modalities (--amass-use-*)")
+    fa.add_argument("--root_only", action="store_true", default=False)
+    fa.add_argument("--noise_std", type=float, default=0.0)
+    fa.add_argument("--make_partial", action="store_true", default=False)
+    fa.add_argument("--partial_height", type=float, default=0.9)
+    fa.add_argument("--drop_middle", action="store_true", default=False)
+    fa.add_argument("--num_samp_pts", type=int, default=512)
+    fa.add_argument("--smpl_path", type=str, default="")
+    fa.add_argument("--humor_ckpt", type=str, default="")
+    fa.add_argument("--init_motion_prior", type=str, default="")
+    fa.add_argument("--latent_size", type=int, default=48)
+    fa.add_argument("--steps", type=int, nargs=3, default=[30, 70, 70],
+                    metavar=("S1", "S2", "S3"))
+    fa.add_argument("--lr", type=float, default=1e-2)
+    fa.add_argument("--seed", type=int, default=0)
+    fa.add_argument("--no_eval", action="store_true", default=False,
+                    help="skip the eval_fitting_3d CSV pass")
+
+    pa = sub.add_parser(
+        "process-amass",
+        help="raw AMASS -> per-sequence training npz "
+             "(humor/scripts/process_amass_data.py)")
+    pa.add_argument("--amass_root", type=str, required=True)
+    pa.add_argument("--out", type=str, required=True)
+    pa.add_argument("--datasets", type=str, nargs="*", default=[],
+                    help="subset of AMASS dataset dirs (default: all)")
+    pa.add_argument("--smpl_path", type=str, default="")
+    pa.add_argument("--synthetic_assets", action="store_true", default=False)
+    pa.add_argument("--cleanup_backup", type=str, default="",
+                    help="after processing, move treadmill/skating clips "
+                         "to this backup dir (cleanup_amass_data.py)")
     return p
 
 
@@ -132,6 +225,25 @@ def cmd_train(args) -> int:
             it = batch_iterator(ds, args.batch_size, seed=epoch)
             for _ in range(n_batches):
                 yield next(it)["states"]
+    elif args.amass:
+        from ..data.amass_process import load_amass_windows
+        windows = load_amass_windows(
+            args.amass, args.seq_len + 1, split=args.amass_split,
+            stride=args.amass_stride, canonicalize=True,
+            max_windows=args.amass_max_windows)
+        if windows.shape[0] == 0:
+            print("[humor_tool] no windows found under", args.amass)
+            return 1
+        print(f"[humor_tool] {windows.shape[0]} AMASS windows "
+              f"({args.amass_split}, T={args.seq_len + 1})")
+        n = windows.shape[0]
+        n_batches = max(1, n // args.batch_size)
+
+        def epoch_batches(epoch):
+            order = np.random.default_rng(epoch).permutation(n)
+            for i in range(n_batches):
+                yield windows[order[i * args.batch_size:
+                                    (i + 1) * args.batch_size]]
     else:
         n = args.synthetic or 2048
         rng = np.random.default_rng(args.seed)
@@ -238,12 +350,275 @@ def cmd_fit_eval(args) -> int:
     return 0
 
 
+def _load_humor_params(path: str, cfg, key):
+    """Humor params from a `train` npz (flat 'module.key' arrays), a torch
+    checkpoint (load_humor), or random init when path is empty."""
+    import jax.numpy as jnp
+    from ..models.humor import init_humor, load_humor
+    if not path:
+        return init_humor(key, cfg)
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params = {}
+        for name in flat.files:
+            m, k = name.split(".", 1)
+            params.setdefault(m, {})[k] = jnp.asarray(flat[name])
+        return params
+    return load_humor(path, cfg)
+
+
+def cmd_fit_rgb(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.assets import load_smpl_npz, synthetic_smpl_model
+    from ..body.smpl import smpl_forward
+    from ..data.humor_rgb import DEFAULT_FOCAL_LEN, load_rgb_video_observations
+    from ..models.humor import HumorConfig
+    from ..models.humor_fit import (MotionOptConfig, humor_motion_fit,
+                                    load_init_motion_prior)
+    from ..models.humor_fit_eval import (save_fitting_results,
+                                         stitch_rgb_results)
+
+    os.makedirs(args.out, exist_ok=True)
+    W, H = args.im_dim
+    if args.intrinsics:
+        with open(args.intrinsics) as f:
+            cam_mat = np.array(json.load(f))
+    else:
+        # DEFAULT_FOCAL_LEN at the image center (run_fitting.py:169-172)
+        cam_mat = np.array([[DEFAULT_FOCAL_LEN[0], 0.0, W / 2.0],
+                            [0.0, DEFAULT_FOCAL_LEN[1], H / 2.0],
+                            [0.0, 0.0, 1.0]])
+
+    vid_name = osp.basename(osp.normpath(args.joints2d))
+    obs_list = load_rgb_video_observations(
+        args.joints2d, cam_mat, seq_len=args.seq_len,
+        overlap_len=args.overlap_len,
+        img_path=args.img_dir or None, masks_path=args.masks or None,
+        mask_joints=args.mask_joints,
+        planercnn_path=args.planercnn or None, video_name=vid_name)
+    if not obs_list:
+        print("[fit-rgb] no keypoint frames found under", args.joints2d)
+        return 1
+    print(f"[fit-rgb] {len(obs_list)} subsequences of "
+          f"{obs_list[0]['joints2d'].shape[0]} frames")
+
+    model = (load_smpl_npz(args.smpl_path) if args.smpl_path
+             else synthetic_smpl_model())
+    hcfg = HumorConfig(latent_size=args.latent_size)
+    key = jax.random.PRNGKey(args.seed)
+    hp = _load_humor_params(args.humor_ckpt, hcfg, key)
+    init_prior = (load_init_motion_prior(args.init_motion_prior)
+                  if args.init_motion_prior else None)
+    cfg = MotionOptConfig(steps_stage1=args.steps[0],
+                          steps_stage2=args.steps[1],
+                          steps_stage3=args.steps[2], lr=args.lr)
+    focal = float(cam_mat[0, 0])
+    center = jnp.asarray([cam_mat[0, 2], cam_mat[1, 2]], jnp.float32)
+    cam_t = jnp.asarray(args.cam_t, jnp.float32)
+
+    res_root = osp.join(args.out, "results_out")
+    res_dirs, intervals = [], []
+    for obs in obs_list:
+        T = obs["joints2d"].shape[0]
+        kp2d = jnp.asarray(obs["joints2d"], jnp.float32)
+        init_pose = jnp.zeros((T, 72), jnp.float32)
+        key, kf = jax.random.split(key)
+        fit = humor_motion_fit(model, hp, hcfg, kp2d, init_pose, cam_t,
+                               center, focal_length=focal, cfg=cfg,
+                               init_motion_prior=init_prior, key=kf)
+        pose = np.asarray(fit["pose"])
+        stage3 = {"betas": np.asarray(fit["betas"]).reshape(-1),
+                  "trans": np.asarray(fit["trans"]),
+                  "root_orient": pose[:, :3],
+                  "pose_body": pose[:, 3:66],
+                  "floor_plane": np.asarray(obs["floor_plane"],
+                                            np.float64)}
+        observations = {"joints2d": np.asarray(obs["joints2d"])}
+        if "img_paths" in obs:
+            observations["img_paths"] = np.asarray(obs["img_paths"])
+        rd = osp.join(res_root, obs["name"])
+        save_fitting_results(
+            rd, stage3, gt={"cam_mtx": cam_mat},
+            observations=observations,
+            optim_bm=args.smpl_path or "synthetic",
+            gt_bm=args.smpl_path or "synthetic")
+        res_dirs.append(rd)
+        intervals.append(obs["seq_interval"])
+        print(f"[fit-rgb] {obs['name']}: "
+              f"stage3 loss {float(np.asarray(fit['stage3_loss'])[-1]):.4f}"
+              f" -> {rd}")
+
+    def smpl_joints_fn(pose_body, betas, root_orient, trans):
+        n = np.asarray(pose_body).shape[0]
+        body = np.zeros((n, 69), np.float32)
+        body[:, :63] = np.asarray(pose_body)
+        _, _, fk = smpl_forward(
+            model, jnp.asarray(np.asarray(betas)[:, :10], jnp.float32),
+            jnp.asarray(body), jnp.asarray(root_orient, jnp.float32),
+            pose2rot=True, transl=jnp.asarray(trans, jnp.float32),
+            want_vertices=False, want_fk_joints=True)
+        return np.asarray(fk)[:, :22]
+
+    final = stitch_rgb_results(intervals, res_dirs, res_root,
+                               smpl_joints_fn=smpl_joints_fn)
+    print(f"[fit-rgb] stitched -> {final}")
+    return 0
+
+
+def cmd_fit_amass(args) -> int:
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.assets import load_smpl_npz, synthetic_smpl_model
+    from ..body.smpl import smpl_forward
+    from ..data.amass_process import (KEYPT_VERTS, amass_fit_observations,
+                                      amass_split_dirs)
+    from ..models.humor import HumorConfig
+    from ..models.humor_fit import (MotionOptConfig, humor_motion_fit,
+                                    load_init_motion_prior)
+    from ..models.humor_fit_eval import (eval_fitting_results_dirs,
+                                         save_fitting_results)
+
+    model = (load_smpl_npz(args.smpl_path) if args.smpl_path
+             else synthetic_smpl_model())
+    V = model.v_template.shape[0]
+    keypt = np.asarray([v for v in KEYPT_VERTS if v < V])
+
+    if osp.isfile(args.amass):
+        seq_paths = [args.amass]
+    else:
+        seq_paths = []
+        for d in amass_split_dirs(args.amass, args.split):
+            seq_paths += sorted(_glob.glob(osp.join(d, "*/*.npz")))
+    if args.max_seqs:
+        seq_paths = seq_paths[:args.max_seqs]
+    if not seq_paths:
+        print("[fit-amass] no processed sequences found under", args.amass)
+        return 1
+
+    hcfg = HumorConfig(latent_size=args.latent_size)
+    key = jax.random.PRNGKey(args.seed)
+    hp = _load_humor_params(args.humor_ckpt, hcfg, key)
+    init_prior = (load_init_motion_prior(args.init_motion_prior)
+                  if args.init_motion_prior else None)
+    # the fit_amass_keypts.cfg weight columns (stage-3 values where the
+    # term is stage-3-only)
+    cfg = MotionOptConfig(
+        steps_stage1=args.steps[0], steps_stage2=args.steps[1],
+        steps_stage3=args.steps[2], lr=args.lr,
+        joints3d_weight=1.0 if "joints" in args.obs else 0.0,
+        verts3d_weight=1.0 if "verts" in args.obs else 0.0,
+        points3d_weight=1.0 if "points" in args.obs else 0.0,
+        joints3d_smooth_weight=0.1,
+        shape_prior_weight=1.67e-4,
+        motion_prior_weight=5e-4,
+        init_motion_prior_weight=5e-4,
+        joint_consistency_weight=1.0, bone_length_weight=10.0,
+        contact_vel_weight=1.0, contact_height_weight=1.0,
+        floor_reg_weight=0.0)
+
+    res_root = osp.join(args.out, "results_out")
+    n_fit = 0
+    for i, path in enumerate(seq_paths):
+        seq = dict(np.load(path, allow_pickle=True))
+        if np.asarray(seq["trans"]).shape[0] < args.seq_len:
+            continue
+        obs, gt = amass_fit_observations(
+            seq, model, seq_len=args.seq_len,
+            return_joints="joints" in args.obs,
+            return_verts="verts" in args.obs,
+            return_points="points" in args.obs,
+            noise_std=args.noise_std, make_partial=args.make_partial,
+            partial_height=args.partial_height,
+            drop_middle=args.drop_middle, num_samp_pts=args.num_samp_pts,
+            root_only=args.root_only, seed=args.seed + i)
+        obs3d = {k: jnp.asarray(v) for k, v in obs.items()}
+        if "verts3d" in obs3d:
+            obs3d["verts3d_inds"] = keypt
+        T = args.seq_len
+        init_pose = np.zeros((T, 72), np.float32)
+        init_pose[:, :3] = gt["root_orient"]   # like the reference, fits
+        init_pose[:, 3:66] = 0.0               # start from observed root
+        key, kf = jax.random.split(key)
+        fit = humor_motion_fit(model, hp, hcfg, None,
+                               jnp.asarray(init_pose), jnp.zeros(3),
+                               jnp.zeros(2), cfg=cfg,
+                               init_motion_prior=init_prior,
+                               obs3d=obs3d, key=kf)
+        pose = np.asarray(fit["pose"])
+        name = osp.splitext(osp.basename(path))[0]
+        parent = osp.basename(osp.dirname(path))
+        seq_name = f"{parent}_{name}_{i}"
+        stage3 = {"betas": np.asarray(fit["betas"]).reshape(-1),
+                  "trans": np.asarray(fit["trans"]),
+                  "root_orient": pose[:, :3], "pose_body": pose[:, 3:66]}
+        gt_save = {"betas": gt["betas"][:10], "trans": gt["trans"],
+                   "root_orient": gt["root_orient"],
+                   "pose_body": gt["pose_body"],
+                   "contacts": gt.get("contacts")}
+        save_fitting_results(
+            osp.join(res_root, seq_name), stage3,
+            gt={k: v for k, v in gt_save.items() if v is not None},
+            observations=obs,
+            optim_bm=args.smpl_path or "synthetic",
+            gt_bm=args.smpl_path or "synthetic")
+        n_fit += 1
+        print(f"[fit-amass] {seq_name}: stage3 loss "
+              f"{float(np.asarray(fit['stage3_loss'])[-1]):.4f}")
+    print(f"[fit-amass] fitted {n_fit} sequences -> {res_root}")
+    if n_fit == 0:
+        return 1
+
+    if not args.no_eval:
+        def smpl_fn(trans, root_orient, pose_body, betas):
+            n = trans.shape[0]
+            body = np.zeros((n, 69), np.float32)
+            body[:, :63] = pose_body
+            verts, _, fk = smpl_forward(
+                model, jnp.asarray(np.asarray(betas)[:, :10], jnp.float32),
+                jnp.asarray(body), jnp.asarray(root_orient, jnp.float32),
+                pose2rot=True, transl=jnp.asarray(trans, jnp.float32),
+                want_fk_joints=True)
+            return np.asarray(fk), np.asarray(verts)
+
+        eval_dir = osp.join(args.out, "eval_out")
+        seqs = eval_fitting_results_dirs(res_root, eval_dir, smpl_fn)
+        print(f"[fit-amass] evaluated {len(seqs)} sequences -> {eval_dir}")
+    return 0
+
+
+def cmd_process_amass(args) -> int:
+    from ..body.assets import load_smpl_npz, synthetic_smpl_model
+    from ..data.amass_process import cleanup_amass_data, process_amass_dir
+
+    model = (load_smpl_npz(args.smpl_path) if args.smpl_path
+             else synthetic_smpl_model())
+    written = process_amass_dir(args.amass_root, args.out, model,
+                                datasets=args.datasets or None)
+    print(f"[process-amass] wrote {len(written)} sequences -> {args.out}")
+    if args.cleanup_backup:
+        moved = cleanup_amass_data(args.out, args.cleanup_backup)
+        print(f"[process-amass] cleanup moved {len(moved)} clips "
+              f"-> {args.cleanup_backup}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "train":
         return cmd_train(args)
     if args.cmd == "train-state-prior":
         return cmd_train_state_prior(args)
+    if args.cmd == "process-amass":
+        return cmd_process_amass(args)
+    if args.cmd == "fit-rgb":
+        return cmd_fit_rgb(args)
+    if args.cmd == "fit-amass":
+        return cmd_fit_amass(args)
     return cmd_fit_eval(args)
 
 

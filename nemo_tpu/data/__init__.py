@@ -33,6 +33,18 @@ from .vibe_readers import (bbox_from_kp2d, iter_tfrecord, parse_tf_example,
                            read_amass, read_h36m, read_insta,
                            read_insta_record, read_mpii3d, read_nemomocap,
                            read_posetrack)
+from .amass_process import (amass_state_windows, amass_world_states,
+                            canonicalize_windows, cleanup_amass_data,
+                            determine_floor_height_and_contacts,
+                            estimate_angular_velocity, estimate_velocity,
+                            load_amass_windows, process_amass_dir,
+                            process_amass_seq)
+from .humor_rgb import (load_planercnn_res, load_prox_calibration,
+                        load_prox_depth_points, load_prox_observations,
+                        load_rgb_video_observations, mask_joints2d,
+                        prox_data_paths_from_img, prox_subsequences,
+                        read_fitting_seq, read_keypoints,
+                        split_overlapping_intervals)
 
 __all__ = [
     "MultiViewBundle", "resample_indices", "resample_to_common_frames",

@@ -51,6 +51,15 @@ class MotionOptConfig:
     floor_reg_weight: float = 0.167        # (:471-485)
     init_motion_prior_weight: float = 0.075  # init-state GMM NLL (cfg :26)
     contact_height_thresh: float = 0.08    # CONTACT_HEIGHT_THRESH (:18)
+    # 3D observation energies (fitting_loss.py root_fit :94-125 /
+    # smpl_fit :204-208 / motion_fit :271-276) — active per obs3d keys
+    joints3d_weight: float = 0.0           # masked L2 vs obs joints (:360-364)
+    verts3d_weight: float = 0.0            # masked L2 vs obs markers (:372-376)
+    points3d_weight: float = 0.0           # one-way chamfer to scan (:378-396)
+    joints3d_rollout_weight: float = 0.0   # obs joints vs rollout (:271-276)
+    joints3d_smooth_weight: float = 0.0    # joint delta smoothness (:366-370)
+    robust_loss: str = "bisquare"          # points3d robustifier (:393-395)
+    robust_tuning_const: float = 4.6851
     optimize_camera: bool = False          # learn cam rotation + translation
     # 'adam' | 'lbfgs' — the reference optimizes every stage with
     # torch.optim.LBFGS closures (motion_optimizer.py:233-285); lbfgs here
@@ -81,6 +90,38 @@ def _floor_height(points: jnp.ndarray, floor: jnp.ndarray) -> jnp.ndarray:
     normal*offset (fitting_loss.py floor convention :471-485)."""
     norm = jnp.sqrt((floor ** 2).sum() + 1e-12)
     return (points @ floor) / norm - norm
+
+
+def masked_l2_loss(obs: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    """joints3d/verts3d observation loss (fitting_loss.py:360-364,
+    372-376): 0.5 * sum of squared error over the finite obs entries —
+    non-finite obs marks occluded data (get_visible_mask :311-315)."""
+    vis = jnp.isfinite(obs)
+    diff = jnp.where(vis, obs, 0.0) - jnp.where(vis, pred, 0.0)
+    return 0.5 * (diff ** 2).sum()
+
+
+def joints3d_smooth_loss(pred: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * sum of squared per-frame joint deltas
+    (fitting_loss.py:366-370); pred (T, J, 3)."""
+    return 0.5 * ((pred[1:] - pred[:-1]) ** 2).sum()
+
+
+def points3d_loss(obs_pts: jnp.ndarray, pred_verts: jnp.ndarray,
+                  robust_loss: str = "bisquare",
+                  tune_const: float = 4.6851) -> jnp.ndarray:
+    """One-way scan->mesh chamfer with robust weighting
+    (fitting_loss.py:378-396): min squared distance from each observed
+    point to the predicted vertex set, sqrt'd, Tukey-bisquare weighted on
+    the detached residuals, then 0.5 * sum of the weighted squares.
+    obs_pts (T, N, 3), pred_verts (T, V, 3)."""
+    from ..ops.chamfer import chamfer_distance
+
+    sq = jax.vmap(lambda o, v: chamfer_distance(o, v)[0])(
+        obs_pts, pred_verts)                            # (T, N)
+    res = jnp.sqrt(sq + 1e-12).reshape(1, -1)           # (1, T*N)
+    weighted, _ = apply_robust_weighting(res, robust_loss, tune_const)
+    return 0.5 * weighted.sum()
 
 
 def _run_opt(loss_fn, params0, steps, lr, optimizer="adam"):
@@ -149,7 +190,7 @@ def init_state_gmm_nll(state: jnp.ndarray,
 
 def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                      humor_cfg: HumorConfig,
-                     kp2d: jnp.ndarray,
+                     kp2d: Optional[jnp.ndarray],
                      init_pose: jnp.ndarray,
                      cam_t: jnp.ndarray,
                      cam_center: jnp.ndarray,
@@ -157,21 +198,33 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                      cfg: MotionOptConfig = MotionOptConfig(),
                      init_motion_prior: Optional[Dict[str, jnp.ndarray]]
                      = None,
+                     obs3d: Optional[Dict[str, jnp.ndarray]] = None,
                      key=None) -> Dict[str, jnp.ndarray]:
     """Fit a motion of T frames to 2D keypoints with the HuMoR prior.
 
     Args:
-      kp2d: (T, 25, 3) keypoints + confidence (OP-25 subset of the 49).
+      kp2d: (T, 25, 3) keypoints + confidence (OP-25 subset of the 49),
+        or None for 3D-only fitting (AMASS / RGB-D without 2D).
       init_pose: (T, 72) per-frame initializer (e.g. VIBE).
       cam_t: (3,) camera translation; identity rotation (HuMoR convention).
       init_motion_prior: optional init-state GMM (load_init_motion_prior);
         adds cfg.init_motion_prior_weight * NLL(x0 state) in stage 3, the
         custom entry's --init-motion-prior (fitting config.py:104,
         fit_rgb_demo cfg stage-3 weight 0.075).
+      obs3d: optional 3D observations (fitting_loss.py root_fit :94-125),
+        each active when its cfg weight > 0:
+          'joints3d'  (T, 22, 3) SMPL-tree joints, non-finite = occluded;
+          'verts3d'   (T, K, 3) markers at 'verts3d_inds' (np int array,
+                      default the KEYPT_VERTS rows of the full mesh);
+          'points3d'  (T, N, 3) per-frame body scan (PROX depth
+                      back-projection, prox_dataset.py:320-349) — one-way
+                      chamfer to ALL vertices (motion_optimizer.py:1117).
+        With points3d, stage-1 trans is initialized at the per-frame point
+        cloud mean (motion_optimizer.py:152-156).
     Returns dict with fitted 'pose' (T, 72), 'trans' (T, 3), 'z' latents,
     per-stage loss histories.
     """
-    T = kp2d.shape[0]
+    T = kp2d.shape[0] if kp2d is not None else init_pose.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
     proj_idx = jnp.arange(25)
@@ -183,9 +236,60 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                             want_vertices=False, transl=trans)
         return j[:, proj_idx]
 
+    def verts_of(pose72, trans, betas=None):
+        rot = batch_rodrigues(pose72.reshape(-1, 24, 3))
+        b = jnp.zeros((1, 10)) if betas is None else betas.reshape(1, 10)
+        v, _ = smpl_forward(smpl, b, rot[:, 1:], rot[:, :1],
+                            want_vertices=True, transl=trans)
+        return v
+
+    def fk22(pose72, trans, betas):
+        rot = batch_rodrigues(pose72.reshape(-1, 24, 3))
+        _, _, jf = smpl_forward(smpl, betas.reshape(1, 10), rot[:, 1:],
+                                rot[:, :1], want_vertices=False,
+                                transl=trans.reshape(-1, 3),
+                                want_fk_joints=True)
+        return jf[:, :22]
+
+    def obs3d_terms(pose72, trans, betas, joints22=None):
+        """The 3D data losses of root_fit (fitting_loss.py:94-125),
+        shared by all stages."""
+        if obs3d is None:
+            return 0.0
+        loss = 0.0
+        b = jnp.zeros(10) if betas is None else betas
+        if "joints3d" in obs3d and cfg.joints3d_weight > 0:
+            j22 = joints22 if joints22 is not None else fk22(pose72, trans, b)
+            loss = loss + cfg.joints3d_weight * masked_l2_loss(
+                obs3d["joints3d"], j22)
+        want_verts = (("verts3d" in obs3d and cfg.verts3d_weight > 0)
+                      or ("points3d" in obs3d and cfg.points3d_weight > 0))
+        if want_verts:
+            v = verts_of(pose72, trans, b)
+            if "verts3d" in obs3d and cfg.verts3d_weight > 0:
+                vi = obs3d.get("verts3d_inds")
+                pred_m = v[:, vi] if vi is not None else v
+                loss = loss + cfg.verts3d_weight * masked_l2_loss(
+                    obs3d["verts3d"], pred_m)
+            if "points3d" in obs3d and cfg.points3d_weight > 0:
+                loss = loss + cfg.points3d_weight * points3d_loss(
+                    obs3d["points3d"], v, cfg.robust_loss,
+                    cfg.robust_tuning_const)
+        return loss
+
+    def reproj_or_zero(pose72, trans, betas, cam_R, cam_t_):
+        if kp2d is None:
+            return 0.0
+        j = joints_of(pose72, trans, betas)
+        return _reproj_loss(j, cam_t_, cam_center, focal_length, kp2d,
+                            cfg.rho, cam_R=cam_R)
+
     # ---- stage 1: root orient + trans (+ optional camera) ----
     from ..geometry.rotations import rot6d_to_rotmat
-    s1_0 = {"orient": init_pose[:, :3], "trans": jnp.zeros((T, 3))}
+    trans0 = (obs3d["points3d"].mean(axis=1)
+              if obs3d is not None and "points3d" in obs3d
+              else jnp.zeros((T, 3)))
+    s1_0 = {"orient": init_pose[:, :3], "trans": trans0}
     if cfg.optimize_camera:
         s1_0["cam_rot6d"] = jnp.array([1., 0., 0., 1., 0., 0.])
         s1_0["cam_t"] = jnp.asarray(cam_t)
@@ -197,10 +301,9 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
 
     def s1_loss(p):
         pose = jnp.concatenate([p["orient"], init_pose[:, 3:]], axis=1)
-        j = joints_of(pose, p["trans"])
         R, t = cam_of(p)
-        return _reproj_loss(j, t, cam_center, focal_length, kp2d, cfg.rho,
-                            cam_R=R)
+        return (reproj_or_zero(pose, p["trans"], None, R, t)
+                + obs3d_terms(pose, p["trans"], None))
 
     s1, l1 = _run_opt(s1_loss, s1_0, cfg.steps_stage1, cfg.lr,
                       cfg.optimizer)
@@ -213,11 +316,15 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
             "trans": s1["trans"], "betas": jnp.zeros(10)}
 
     def s2_loss(p):
-        j = joints_of(p["pose"], p["trans"], p["betas"])
-        data = _reproj_loss(j, cam_t_fit, cam_center, focal_length, kp2d,
-                            cfg.rho, cam_R=cam_R_fit)
+        data = reproj_or_zero(p["pose"], p["trans"], p["betas"],
+                              cam_R_fit, cam_t_fit)
+        data = data + obs3d_terms(p["pose"], p["trans"], p["betas"])
         smooth = ((p["pose"][1:] - p["pose"][:-1]) ** 2).mean() + \
                  ((p["trans"][1:] - p["trans"][:-1]) ** 2).mean()
+        if cfg.joints3d_smooth_weight > 0:
+            # smpl_fit's joints3d_smooth term (fitting_loss.py:204-208)
+            data = data + cfg.joints3d_smooth_weight * joints3d_smooth_loss(
+                fk22(p["pose"], p["trans"], p["betas"]))
         shape_prior = (p["betas"] ** 2).sum()
         return (data + cfg.smooth_weight * smooth
                 + cfg.shape_prior_weight * shape_prior)
@@ -230,14 +337,6 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
     # Build the initial HuMoR state from the stage-2 result; joints are the
     # true FK joints (SMPL tree order, world frame), like the reference's
     # body-model joints.
-    def fk22(pose72, trans, betas):
-        rot = batch_rodrigues(pose72.reshape(-1, 24, 3))
-        _, _, jf = smpl_forward(smpl, betas.reshape(1, 10), rot[:, 1:],
-                                rot[:, :1], want_vertices=False,
-                                transl=trans.reshape(-1, 3),
-                                want_fk_joints=True)
-        return jf[:, :22]
-
     def state_from(pose72, trans, prev_pose72, prev_trans):
         j22 = fk22(pose72, trans, betas_fit)[0].reshape(-1)
         jp = fk22(prev_pose72, prev_trans, betas_fit)[0].reshape(-1)
@@ -278,9 +377,10 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
 
     def s3_loss(p):
         pose, trans, states, out = decode_motion(p)
-        j = joints_of(pose, trans, betas_fit)
-        data = _reproj_loss(j, cam_t_fit, cam_center, focal_length, kp2d,
-                            cfg.rho, cam_R=cam_R_fit)
+        data = reproj_or_zero(pose, trans, betas_fit, cam_R_fit, cam_t_fit)
+        data = data + obs3d_terms(pose, trans, betas_fit)
+        # (joints3d_smooth is a stage-1/2 term only: every shipped config
+        # zeroes its stage-3 column, fit_amass_keypts.cfg / fit_proxd.cfg)
         # motion prior: NLL of z under the rollout's conditional prior
         # (fitting_loss.py:404-414 motion_prior_loss with cond_prior)
         pm, pv = out["prior_mean"][0], out["prior_var"][0]
@@ -289,6 +389,12 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                         + (z - pm) ** 2 / pv)).sum(-1).mean()
         d = split_state(states)
         roll_j = d["joints"].reshape(T, 22, 3)
+        if (obs3d is not None and "joints3d" in obs3d
+                and cfg.joints3d_rollout_weight > 0):
+            # rolled-out joints must match the observations too
+            # (fitting_loss.py:271-276 joints3d_rollout)
+            data = data + cfg.joints3d_rollout_weight * masked_l2_loss(
+                obs3d["joints3d"], roll_j)
         # regressed-joint consistency (:431-434)
         j_fk = fk22(pose, trans, betas_fit)
         consist = ((roll_j - j_fk) ** 2).mean()
@@ -341,3 +447,166 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         out["cam_R"] = cam_R_fit
         out["cam_t"] = cam_t_fit
     return out
+
+
+# --- fitting-frame + robust-weighting utilities --------------------------------
+# (humor/humor/fitting/fitting_utils.py — the camera->prior canonical frame
+# and the Tukey bisquare weighting run_fitting applies to RGB-D point-cloud
+# residuals)
+
+def bdot(a: jnp.ndarray, b: jnp.ndarray,
+         keepdims: bool = False) -> jnp.ndarray:
+    """Batched dot product over the last axis (fitting_utils.py:79-86)."""
+    return (a * b).sum(-1, keepdims=keepdims)
+
+
+def compute_plane_intersection(point: jnp.ndarray, direction: jnp.ndarray,
+                               plane: jnp.ndarray):
+    """Ray/plane intersection: returns (point + s * direction, s); s < 0
+    means the -direction ray intersects (fitting_utils.py:61-77).
+    point/direction: (B, 3); plane: (B, 4) [a, b, c, d]."""
+    normal, off = plane[:, :3], plane[:, 3]
+    s = (off - bdot(normal, point)) / bdot(normal, direction)
+    return point + s[:, None] * direction, s
+
+
+def parse_floor_plane(floor_plane: jnp.ndarray) -> jnp.ndarray:
+    """Optimization-form floor plane (B, 3) [= normal * d] -> (B, 4)
+    [a, b, c, d] with the normal facing up in the camera frame (-y up,
+    so the y component must be non-positive) (fitting_utils.py:88-103)."""
+    off = jnp.linalg.norm(floor_plane, axis=1, keepdims=True)
+    normal = floor_plane / off
+    neg = normal[:, 1:2] > 0.0
+    normal = jnp.where(neg, -normal, normal)
+    off = jnp.where(neg, -off, off)
+    return jnp.concatenate([normal, off], axis=1)
+
+
+def compute_cam2prior(floor_plane: jnp.ndarray, trans: jnp.ndarray,
+                      root_orient: jnp.ndarray, joints: jnp.ndarray):
+    """Rotation/translation from the camera frame to the canonical frame
+    the motion/init-state priors were trained in: up = floor normal,
+    right = body -x projected to the floor, fwd = up x right
+    (fitting_utils.py:148-188). Returns (cam2prior_R (B, 3, 3),
+    cam2prior_t (B, 3) [= -trans], root_height (B, 1))."""
+    B = floor_plane.shape[0]
+    plane4 = (parse_floor_plane(floor_plane)
+              if floor_plane.shape[1] == 3 else floor_plane)
+    normal = plane4[:, :3]
+    floor_trans, _ = compute_plane_intersection(trans, -normal, plane4)
+
+    root_mat = batch_rodrigues(root_orient)
+    body_right = -root_mat[:, :, 0]
+    floor_body_right, s = compute_plane_intersection(trans, body_right,
+                                                     plane4)
+    right = floor_body_right - floor_trans
+    right = jnp.where(s[:, None] < 0, -right, right)
+    right = right / jnp.linalg.norm(right, axis=1, keepdims=True)
+    fwd = jnp.cross(normal, right)
+    fwd = fwd / jnp.linalg.norm(fwd, axis=1, keepdims=True)
+
+    prior_R = jnp.stack([right, fwd, normal], axis=2)
+    cam2prior_R = jnp.swapaxes(prior_R, 1, 2)
+    cam2prior_t = -trans
+    _, s_root = compute_plane_intersection(joints[:, 0], -normal, plane4)
+    return cam2prior_R, cam2prior_t, s_root.reshape(B, 1)
+
+
+def _lower_median(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.median semantics: the LOWER of the two middle order statistics
+    on even counts (np/jnp.median averages them instead)."""
+    n = x.shape[-1]
+    return jnp.sort(x, axis=-1)[..., (n - 1) // 2: (n - 1) // 2 + 1]
+
+
+def robust_std(res: jnp.ndarray) -> jnp.ndarray:
+    """Robust per-row std via median absolute deviation
+    (fitting_utils.py:211-225; torch.median's lower-median tie rule).
+    res: (B, N) -> (B, 1)."""
+    med = _lower_median(res)
+    mad = _lower_median(jnp.abs(res - med))
+    return mad / 0.67449
+
+
+def bisquare_robust_weights(res: jnp.ndarray,
+                            tune_const: float = 4.6851) -> jnp.ndarray:
+    """Tukey bisquare weights, zero outside the tuning radius
+    (fitting_utils.py:230-249; like the reference, assumes non-negative
+    residuals — run_fitting feeds point-cloud distances)."""
+    norm_res = res / (robust_std(res) * tune_const)
+    w = (1.0 - norm_res ** 2) ** 2
+    return jnp.where(norm_res >= 1.0, 0.0, w)
+
+
+def apply_robust_weighting(res: jnp.ndarray,
+                           robust_loss_type: str = "bisquare",
+                           robust_tuning_const: float = 4.6851):
+    """Robustly weighted squared residuals (fitting_utils.py:190-209):
+    weights are computed on detached residuals so no gradient flows
+    through them. Returns (weighted squared residuals, weights)."""
+    detached = jax.lax.stop_gradient(res)
+    if robust_loss_type == "none":
+        w = jnp.ones_like(detached)
+    else:
+        w = bisquare_robust_weights(detached, robust_tuning_const)
+    return w * res ** 2, w
+
+
+def apply_cam2prior(data_dict: Dict[str, jnp.ndarray], R: jnp.ndarray,
+                    t: jnp.ndarray, root_height: jnp.ndarray,
+                    body_pose: jnp.ndarray, betas: jnp.ndarray,
+                    key_frame_idx: int, smpl_joints_fn,
+                    inverse: bool = False) -> Dict[str, jnp.ndarray]:
+    """Apply the camera->prior transform from compute_cam2prior to a
+    {trans (B, T, 3), root_orient (B, T, 3)} motion — forward re-floors the
+    trajectory so the key frame's root joint sits at root_height
+    (fitting_utils.py:576-644).
+
+    smpl_joints_fn(pose_body (B*T, 63), betas (B*T, nb), root_orient
+    (B*T, 3), trans (B*T, 3)) -> joints (B*T, J, 3), used only in the
+    forward direction for the floor offset (the reference runs its
+    BodyModel there)."""
+    from ..geometry.rotations import rotmat_to_aa
+
+    prior: Dict[str, jnp.ndarray] = {}
+    root_orient = data_dict["root_orient"]
+    B, T, _ = root_orient.shape
+    R_time = jnp.broadcast_to(R[:, None], (B, T, 3, 3))
+    t_time = jnp.broadcast_to(t[:, None], (B, T, 3))
+    ro_mat = batch_rodrigues(root_orient.reshape(-1, 3)).reshape(B, T, 3, 3)
+    if inverse:
+        prior_mat = jnp.swapaxes(R_time, 2, 3) @ ro_mat
+    else:
+        prior_mat = R_time @ ro_mat
+    prior["root_orient"] = rotmat_to_aa(
+        prior_mat.reshape(-1, 3, 3)).reshape(B, T, 3)
+
+    if "trans" in data_dict:
+        trans = data_dict["trans"]
+        if inverse:
+            if T > 1:
+                off = trans[jnp.arange(B), key_frame_idx][:, None]
+            else:
+                off = trans[:, 0:1]
+            trans = trans - off
+            trans = (jnp.swapaxes(R_time, 2, 3)
+                     @ trans[..., None])[..., 0]
+            trans = trans - t_time
+        else:
+            trans = trans + t_time
+            trans = (R_time @ trans[..., None])[..., 0]
+            joints = smpl_joints_fn(
+                body_pose.reshape(B * T, -1),
+                betas.reshape(B * T, -1),
+                prior["root_orient"].reshape(B * T, 3),
+                trans.reshape(B * T, 3)).reshape(B, T, -1, 3)
+            if T > 1:
+                cur_h = joints[jnp.arange(B), key_frame_idx, 0, 2:3]
+            else:
+                cur_h = joints[:, 0, 0, 2:3]
+            height_diff = root_height - cur_h
+            off = jnp.concatenate(
+                [jnp.zeros((B, 2)), height_diff], axis=1)
+            trans = trans + off[:, None]
+        prior["trans"] = trans
+    return prior

@@ -423,3 +423,116 @@ def eval_fitting_results_dirs(results_root: str, out_dir: str, smpl_fn,
                             {k: v for k, v in results.items() if v},
                             seq_names)
     return seq_names
+
+
+def stitch_rgb_results(seq_intervals: Sequence,
+                       res_dirs: Sequence[str], out_root: str,
+                       smpl_joints_fn=None) -> str:
+    """Stitch per-subsequence RGB fitting result dirs into one
+    final_results dir (fitting_utils.py:398-523 save_rgb_stitched_result).
+
+    Per subsequence i the first (prev_end - cur_start) overlap frames are
+    dropped before concatenation; the floor plane saved is the FIRST
+    subsequence's (like the reference). With smpl_joints_fn(pose_body,
+    betas, root_orient, trans) -> joints, also writes
+    stage3_results_prior.npz: the whole stitched motion re-expressed in
+    the prior canonical frame computed from frame 0 (compute_cam2prior +
+    apply_cam2prior). Returns the final_results path."""
+    from .humor_fit import apply_cam2prior, compute_cam2prior
+
+    seq_overlaps = [0]
+    for i in range(len(seq_intervals) - 1):
+        seq_overlaps.append(seq_intervals[i][1] - seq_intervals[i + 1][0])
+
+    final = os.path.join(out_root, "final_results")
+    os.makedirs(final, exist_ok=True)
+
+    concat = None
+    contacts = None
+    ground_planes = []
+    joints2d = None
+    img_paths: Optional[List] = None
+    gt_cam_mtx = None
+    for res_idx, rd in enumerate(res_dirs):
+        s3 = load_fitting_results(rd, PRED_RES_NAME)
+        T = s3["trans"].shape[0]
+        if "floor_plane" in s3:
+            ground_planes.append(np.asarray(s3["floor_plane"]).reshape(-1))
+        cur = {k: np.asarray(s3[k]) for k in
+               ("betas", "trans", "root_orient", "pose_body") if k in s3}
+        if cur.get("betas") is not None and cur["betas"].ndim == 1:
+            cur["betas"] = np.broadcast_to(cur["betas"][None],
+                                           (T, cur["betas"].shape[0]))
+        cur_contacts = np.asarray(s3.get("contacts",
+                                         np.zeros((T, 0), np.float32)))
+        ov = seq_overlaps[res_idx] if res_idx < len(seq_overlaps) else None
+        if concat is None:
+            concat = cur
+            contacts = cur_contacts
+        else:
+            for k in concat:
+                concat[k] = np.concatenate([concat[k], cur[k][ov:]], axis=0)
+            contacts = np.concatenate([contacts, cur_contacts[ov:]], axis=0)
+
+        if gt_cam_mtx is None:
+            gt = load_fitting_results(rd, GT_RES_NAME)
+            if gt is not None and "cam_mtx" in gt:
+                gt_cam_mtx = gt["cam_mtx"]
+        obs = load_fitting_results(rd, OBS_NAME)
+        if obs is not None and "joints2d" in obs:
+            j2 = np.asarray(obs["joints2d"])
+            joints2d = j2 if joints2d is None else np.concatenate(
+                [joints2d, j2[ov:]], axis=0)
+            if "img_paths" in obs:
+                ip = list(obs["img_paths"])
+                img_paths = ip if img_paths is None else \
+                    img_paths + ip[ov:]
+        if res_idx >= len(seq_overlaps):
+            break  # extras from even-batching (fitting_utils.py:455-456)
+
+    src_meta = os.path.join(res_dirs[0], "meta.txt")
+    if os.path.exists(src_meta):
+        with open(src_meta) as fin, \
+                open(os.path.join(final, "meta.txt"), "w") as fout:
+            fout.write(fin.read())
+    if gt_cam_mtx is not None:
+        np.savez(os.path.join(final, GT_RES_NAME + ".npz"),
+                 cam_mtx=gt_cam_mtx)
+    if joints2d is not None:
+        obs_payload = {"joints2d": joints2d}
+        if img_paths is not None:
+            obs_payload["img_paths"] = np.asarray(img_paths)
+        np.savez(os.path.join(final, OBS_NAME + ".npz"), **obs_payload)
+
+    payload = dict(betas=concat["betas"], trans=concat["trans"],
+                   root_orient=concat["root_orient"],
+                   pose_body=concat["pose_body"], contacts=contacts)
+    if ground_planes:
+        payload["floor_plane"] = ground_planes[0]
+    np.savez(os.path.join(final, PRED_RES_NAME + ".npz"), **payload)
+
+    if smpl_joints_fn is not None and ground_planes:
+        import jax.numpy as jnp
+        T = concat["trans"].shape[0]
+        joints = np.asarray(smpl_joints_fn(
+            concat["pose_body"], concat["betas"], concat["root_orient"],
+            concat["trans"]))
+        R, t, rh = compute_cam2prior(
+            jnp.asarray(ground_planes[0][None, :3], jnp.float32),
+            jnp.asarray(concat["trans"][0:1], jnp.float32),
+            jnp.asarray(concat["root_orient"][0:1], jnp.float32),
+            jnp.asarray(joints[0:1], jnp.float32))
+        prior = apply_cam2prior(
+            {"trans": jnp.asarray(concat["trans"][None], jnp.float32),
+             "root_orient": jnp.asarray(concat["root_orient"][None],
+                                        jnp.float32)},
+            R, t, rh,
+            jnp.asarray(concat["pose_body"][None], jnp.float32),
+            jnp.asarray(concat["betas"][None], jnp.float32),
+            0, smpl_joints_fn)
+        np.savez(os.path.join(final, PRED_RES_NAME + "_prior.npz"),
+                 betas=concat["betas"],
+                 trans=np.asarray(prior["trans"][0]),
+                 root_orient=np.asarray(prior["root_orient"][0]),
+                 pose_body=concat["pose_body"], contacts=contacts)
+    return final

@@ -83,3 +83,48 @@ class TestTrainCli:
         assert rows[1]["lr"] == pytest.approx(rows[0]["lr"] * 0.1)
         with np.load(os.path.join(out, "humor_params.npz")) as d:
             assert any(k.startswith("encoder.") for k in d.files)
+
+
+@pytest.mark.slow
+class TestFitAmassCli:
+    def test_process_then_fit_then_eval(self, tmp_path):
+        """process-amass -> fit-amass (joints+verts+points obs) ->
+        eval CSV family: the run_fitting.py data_type=AMASS loop."""
+        raw = tmp_path / "raw" / "HumanEva" / "S1"
+        raw.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        T = 150
+        t = np.linspace(0, 4 * np.pi, T)[:, None]
+        poses = np.zeros((T, 156))
+        poses[:, :3] = 0.2 * np.stack(
+            [np.sin(t[:, 0]), np.cos(t[:, 0]), 0 * t[:, 0]], 1)
+        poses[:, 3:66] = 0.15 * np.sin(t + rng.uniform(0, np.pi, (1, 63)))
+        trans = np.stack([0.3 * t[:, 0], 0.1 * np.sin(t[:, 0]),
+                          np.zeros(T)], 1)
+        np.savez(raw / "walk_poses.npz", poses=poses, trans=trans,
+                 betas=rng.standard_normal(16) * 0.3, gender="neutral",
+                 mocap_framerate=120.0)
+
+        proc = str(tmp_path / "proc")
+        assert main(["process-amass", "--amass_root",
+                     str(tmp_path / "raw"), "--out", proc]) == 0
+
+        out = str(tmp_path / "fit")
+        rc = main(["fit-amass", "--amass", proc, "--out", out,
+                   "--split", "test", "--seq_len", "8",
+                   "--obs", "joints", "verts", "points",
+                   "--num_samp_pts", "64", "--latent_size", "8",
+                   "--steps", "3", "4", "3", "--noise_std", "0.005"])
+        assert rc == 0
+        res = os.listdir(os.path.join(out, "results_out"))
+        assert len(res) == 1
+        seq_dir = os.path.join(out, "results_out", res[0])
+        for name in ("stage3_results.npz", "gt_results.npz",
+                     "observations.npz", "meta.txt"):
+            assert os.path.exists(os.path.join(seq_dir, name)), name
+        with np.load(os.path.join(seq_dir, "observations.npz")) as d:
+            assert d["points3d"].shape == (8, 64, 3)
+        csvs = [f for f in os.listdir(os.path.join(out, "eval_out"))
+                if f.endswith(".csv")]
+        assert any("per_seq_mean" in c for c in csvs)
+        assert any("agg_mean" in c for c in csvs)
