@@ -127,6 +127,34 @@ def build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--cam_t", type=float, nargs=3, default=[0.0, 0.0, 2.5])
     fr.add_argument("--seed", type=int, default=0)
 
+    fp = sub.add_parser(
+        "fit-prox",
+        help="PROX fitting driver: RGB keypoints (+ optional RGB-D depth "
+             "point clouds) -> 3-stage HuMoR fit per subsequence -> "
+             "result dirs + eval CSVs (run_fitting.py data_type="
+             "PROX-RGB/PROX-RGBD, fit_prox.cfg / fit_proxd.cfg)")
+    fp.add_argument("--prox", type=str, required=True,
+                    help="PROX root (qualitative/ or quantitative/ inside)")
+    fp.add_argument("--out", type=str, required=True)
+    fp.add_argument("--quant", action="store_true", default=False)
+    fp.add_argument("--split", type=str, default="train")
+    fp.add_argument("--recording", type=str, default="")
+    fp.add_argument("--seq_len", type=int, default=60)
+    fp.add_argument("--max_seqs", type=int, default=0)
+    fp.add_argument("--rgbd", action="store_true", default=False,
+                    help="use depth point clouds (PROX-RGBD / fit_proxd)")
+    fp.add_argument("--mask_joints", action="store_true", default=False)
+    fp.add_argument("--max_pts", type=int, default=4096)
+    fp.add_argument("--smpl_path", type=str, default="")
+    fp.add_argument("--humor_ckpt", type=str, default="")
+    fp.add_argument("--init_motion_prior", type=str, default="")
+    fp.add_argument("--latent_size", type=int, default=48)
+    fp.add_argument("--steps", type=int, nargs=3, default=[30, 70, 70],
+                    metavar=("S1", "S2", "S3"))
+    fp.add_argument("--lr", type=float, default=1e-2)
+    fp.add_argument("--seed", type=int, default=0)
+    fp.add_argument("--no_eval", action="store_true", default=False)
+
     fa = sub.add_parser(
         "fit-amass",
         help="3D fitting on processed AMASS: noisy/partial observations "
@@ -425,9 +453,11 @@ def cmd_fit_rgb(args) -> int:
         kp2d = jnp.asarray(obs["joints2d"], jnp.float32)
         init_pose = jnp.zeros((T, 72), jnp.float32)
         key, kf = jax.random.split(key)
-        fit = humor_motion_fit(model, hp, hcfg, kp2d, init_pose, cam_t,
-                               center, focal_length=focal, cfg=cfg,
-                               init_motion_prior=init_prior, key=kf)
+        fit = humor_motion_fit(
+            model, hp, hcfg, kp2d, init_pose, cam_t, center,
+            focal_length=focal, cfg=cfg, init_motion_prior=init_prior,
+            obs3d={"floor_plane": jnp.asarray(obs["floor_plane"],
+                                              jnp.float32)}, key=kf)
         pose = np.asarray(fit["pose"])
         stage3 = {"betas": np.asarray(fit["betas"]).reshape(-1),
                   "trans": np.asarray(fit["trans"]),
@@ -464,6 +494,140 @@ def cmd_fit_rgb(args) -> int:
     final = stitch_rgb_results(intervals, res_dirs, res_root,
                                smpl_joints_fn=smpl_joints_fn)
     print(f"[fit-rgb] stitched -> {final}")
+    return 0
+
+
+def cmd_fit_prox(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.assets import load_smpl_npz, synthetic_smpl_model
+    from ..body.smpl import smpl_forward
+    from ..data.humor_rgb import (load_prox_calibration,
+                                  load_prox_depth_points,
+                                  load_prox_observations)
+    from ..models.humor import HumorConfig
+    from ..models.humor_fit import (MotionOptConfig, humor_motion_fit,
+                                    load_init_motion_prior)
+    from ..models.humor_fit_eval import (eval_fitting_results_dirs,
+                                         save_fitting_results)
+
+    obs_list = load_prox_observations(
+        args.prox, quant=args.quant, split=args.split,
+        seq_len=args.seq_len, recording=args.recording or None,
+        mask_joints=args.mask_joints, load_floor_plane=True,
+        return_fitting=args.quant)
+    if args.max_seqs:
+        obs_list = obs_list[:args.max_seqs]
+    if not obs_list:
+        print("[fit-prox] no subsequences found under", args.prox)
+        return 1
+
+    calib = None
+    if args.rgbd:
+        data_dir = osp.join(args.prox,
+                            "quantitative" if args.quant else "qualitative")
+        calib = load_prox_calibration(osp.join(data_dir, "calibration"))
+
+    model = (load_smpl_npz(args.smpl_path) if args.smpl_path
+             else synthetic_smpl_model())
+    hcfg = HumorConfig(latent_size=args.latent_size)
+    key = jax.random.PRNGKey(args.seed)
+    hp = _load_humor_params(args.humor_ckpt, hcfg, key)
+    init_prior = (load_init_motion_prior(args.init_motion_prior)
+                  if args.init_motion_prior else None)
+    # fit_proxd.cfg / fit_prox.cfg weight columns: RGB-D runs the
+    # point-cloud chamfer at 1.0 next to joint2d 0.001
+    cfg = MotionOptConfig(
+        steps_stage1=args.steps[0], steps_stage2=args.steps[1],
+        steps_stage3=args.steps[2], lr=args.lr,
+        points3d_weight=1.0 if args.rgbd else 0.0,
+        kp2d_weight=0.001 if args.rgbd else 1.0,
+        joints3d_smooth_weight=100.0,
+        shape_prior_weight=0.034,
+        motion_prior_weight=0.075, init_motion_prior_weight=0.075,
+        joint_consistency_weight=100.0, bone_length_weight=2000.0,
+        contact_vel_weight=100.0, contact_height_weight=10.0,
+        floor_reg_weight=1.0 if args.rgbd else 0.0)
+
+    res_root = osp.join(args.out, "results_out")
+    n_fit = 0
+    for obs in obs_list:
+        T = obs["joints2d"].shape[0]
+        kp2d = jnp.asarray(obs["joints2d"], jnp.float32)
+        cam_mat = obs.get("cam_matx")
+        if cam_mat is None:
+            from ..data.humor_rgb import DEFAULT_FOCAL_LEN
+            cam_mat = np.array([[DEFAULT_FOCAL_LEN[0], 0.0, 960.0],
+                                [0.0, DEFAULT_FOCAL_LEN[1], 540.0],
+                                [0.0, 0.0, 1.0]])
+        obs3d = {}
+        if "floor_plane" in obs:
+            obs3d["floor_plane"] = jnp.asarray(obs["floor_plane"],
+                                               jnp.float32)
+        if args.rgbd and calib is not None:
+            import matplotlib.pyplot as plt
+
+            def _mask(p):
+                img = plt.imread(p)
+                if img.ndim == 3:
+                    img = img[..., 0]
+                return (img * 255).astype(np.uint8) \
+                    if img.dtype != np.uint8 else img
+
+            masks = [_mask(p) for p in obs["mask_paths"]]
+            pts = load_prox_depth_points(obs["depth_paths"], masks, calib,
+                                         max_pts=args.max_pts)
+            obs3d["points3d"] = jnp.asarray(pts, jnp.float32)
+        init_pose = jnp.zeros((T, 72), jnp.float32)
+        key, kf = jax.random.split(key)
+        fit = humor_motion_fit(
+            model, hp, hcfg, kp2d, init_pose,
+            jnp.asarray([0.0, 0.0, 2.5]),
+            jnp.asarray([cam_mat[0, 2], cam_mat[1, 2]], jnp.float32),
+            focal_length=float(cam_mat[0, 0]), cfg=cfg,
+            init_motion_prior=init_prior, obs3d=obs3d or None, key=kf)
+        pose = np.asarray(fit["pose"])
+        stage3 = {"betas": np.asarray(fit["betas"]).reshape(-1),
+                  "trans": np.asarray(fit["trans"]),
+                  "root_orient": pose[:, :3], "pose_body": pose[:, 3:66]}
+        if "floor" in fit:
+            stage3["floor_plane"] = np.asarray(fit["floor"], np.float64)
+        gt = None
+        if args.quant and "gt_trans" in obs:
+            gt = {"trans": obs["gt_trans"],
+                  "root_orient": obs["gt_root_orient"],
+                  "pose_body": obs["gt_pose_body"],
+                  "betas": np.asarray(obs["gt_betas"])[..., :10]}
+        observations = {"joints2d": np.asarray(obs["joints2d"]),
+                        "img_paths": np.asarray(obs["img_paths"])}
+        if "points3d" in obs3d:
+            observations["points3d"] = np.asarray(obs3d["points3d"])
+        save_fitting_results(
+            osp.join(res_root, obs["name"]), stage3, gt=gt,
+            observations=observations,
+            optim_bm=args.smpl_path or "synthetic",
+            gt_bm=args.smpl_path or "synthetic")
+        n_fit += 1
+        print(f"[fit-prox] {obs['name']}: stage3 loss "
+              f"{float(np.asarray(fit['stage3_loss'])[-1]):.4f}")
+    print(f"[fit-prox] fitted {n_fit} subsequences -> {res_root}")
+
+    if args.quant and not args.no_eval:
+        def smpl_fn(trans, root_orient, pose_body, betas):
+            n = trans.shape[0]
+            body = np.zeros((n, 69), np.float32)
+            body[:, :63] = pose_body
+            verts, _, fk = smpl_forward(
+                model, jnp.asarray(np.asarray(betas)[:, :10], jnp.float32),
+                jnp.asarray(body), jnp.asarray(root_orient, jnp.float32),
+                pose2rot=True, transl=jnp.asarray(trans, jnp.float32),
+                want_fk_joints=True)
+            return np.asarray(fk), np.asarray(verts)
+
+        eval_dir = osp.join(args.out, "eval_out")
+        seqs = eval_fitting_results_dirs(res_root, eval_dir, smpl_fn)
+        print(f"[fit-prox] evaluated {len(seqs)} sequences -> {eval_dir}")
     return 0
 
 
@@ -619,6 +783,8 @@ def main(argv=None) -> int:
         return cmd_fit_rgb(args)
     if args.cmd == "fit-amass":
         return cmd_fit_amass(args)
+    if args.cmd == "fit-prox":
+        return cmd_fit_prox(args)
     return cmd_fit_eval(args)
 
 

@@ -60,6 +60,8 @@ class MotionOptConfig:
     joints3d_smooth_weight: float = 0.0    # joint delta smoothness (:366-370)
     robust_loss: str = "bisquare"          # points3d robustifier (:393-395)
     robust_tuning_const: float = 4.6851
+    kp2d_weight: float = 1.0               # joint2d-weight (fit_proxd.cfg
+    #                                        runs 0.001 next to points3d 1.0)
     optimize_camera: bool = False          # learn cam rotation + translation
     # 'adam' | 'lbfgs' — the reference optimizes every stage with
     # torch.optim.LBFGS closures (motion_optimizer.py:233-285); lbfgs here
@@ -218,7 +220,10 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
                       default the KEYPT_VERTS rows of the full mesh);
           'points3d'  (T, N, 3) per-frame body scan (PROX depth
                       back-projection, prox_dataset.py:320-349) — one-way
-                      chamfer to ALL vertices (motion_optimizer.py:1117).
+                      chamfer to ALL vertices (motion_optimizer.py:1117);
+          'floor_plane' (3,) observed normal*offset plane (PlaneRCNN /
+                      PROX) — initializes the stage-3 floor and anchors
+                      floor_reg (motion_optimizer.py:142-149).
         With points3d, stage-1 trans is initialized at the per-frame point
         cloud mean (motion_optimizer.py:152-156).
     Returns dict with fitted 'pose' (T, 72), 'trans' (T, 3), 'z' latents,
@@ -278,11 +283,11 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
         return loss
 
     def reproj_or_zero(pose72, trans, betas, cam_R, cam_t_):
-        if kp2d is None:
+        if kp2d is None or cfg.kp2d_weight == 0.0:
             return 0.0
         j = joints_of(pose72, trans, betas)
-        return _reproj_loss(j, cam_t_, cam_center, focal_length, kp2d,
-                            cfg.rho, cam_R=cam_R)
+        return cfg.kp2d_weight * _reproj_loss(
+            j, cam_t_, cam_center, focal_length, kp2d, cfg.rho, cam_R=cam_R)
 
     # ---- stage 1: root orient + trans (+ optional camera) ----
     from ..geometry.rotations import rot6d_to_rotmat
@@ -359,8 +364,16 @@ def humor_motion_fit(smpl: SMPLModel, humor_params: Params,
     # when any floor/contact term is on.
     cid = jnp.asarray(CONTACT_INDS)
     j2 = fk22(s2["pose"], s2["trans"], betas_fit)       # (T, 22, 3)
-    floor0 = jnp.array([0.0, 0.0, 1.0]) * (
-        j2[:, cid, 2].min() + jnp.asarray(1e-3))
+    if obs3d is not None and "floor_plane" in obs3d:
+        # observed plane: (a, b, c, d) as the datasets ship it, or the
+        # optimization form normal*offset (3,). The reference initializes
+        # AND regularizes against the observed plane
+        # (motion_optimizer.py:142-149, fitting_loss.py:471-485).
+        fp = jnp.asarray(obs3d["floor_plane"], jnp.float32).reshape(-1)
+        floor0 = fp[:3] * fp[3] if fp.shape[0] == 4 else fp
+    else:
+        floor0 = jnp.array([0.0, 0.0, 1.0]) * (
+            j2[:, cid, 2].min() + jnp.asarray(1e-3))
     use_floor = (cfg.contact_height_weight > 0 or cfg.floor_reg_weight > 0
                  ) and humor_cfg.pred_contacts
     if use_floor:

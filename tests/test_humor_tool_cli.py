@@ -128,3 +128,47 @@ class TestFitAmassCli:
                 if f.endswith(".csv")]
         assert any("per_seq_mean" in c for c in csvs)
         assert any("agg_mean" in c for c in csvs)
+
+
+@pytest.mark.slow
+class TestFitProxCli:
+    def test_fit_prox_rgbd(self, tmp_path):
+        """PROX quantitative RGB-D: keypoints + depth point clouds ->
+        3-stage fit with points3d chamfer + observed floor -> results +
+        eval CSVs (run_fitting.py data_type=PROX-RGBD, fit_proxd.cfg)."""
+        from PIL import Image
+
+        from tests.test_humor_rgb import _make_prox_tree
+
+        rng = np.random.default_rng(3)
+        root, _, _ = _make_prox_tree(tmp_path, rng, n_frames=6)
+        rec = os.path.join(root, "quantitative", "recordings",
+                           "vicon_03301_01")
+        os.makedirs(os.path.join(rec, "Depth"))
+        # Kinect-sized 16-bit depth (~2 m plane) and full-size color masks
+        depth = (16000 + 500 * rng.standard_normal((424, 512))).astype(
+            np.uint16)
+        mask = Image.fromarray(np.zeros((1080, 1920), np.uint8), mode="L")
+        for t in range(6):
+            name = "s%03d_frame_%05d" % (0, t)
+            Image.fromarray(depth).save(
+                os.path.join(rec, "Depth", name + ".png"))
+            mask.save(os.path.join(rec, "BodyIndexColor", name + ".png"))
+
+        out = str(tmp_path / "fit")
+        rc = main(["fit-prox", "--prox", root, "--quant", "--out", out,
+                   "--seq_len", "5", "--rgbd", "--max_pts", "32",
+                   "--latent_size", "8", "--steps", "2", "3", "2",
+                   "--max_seqs", "1"])
+        assert rc == 0
+        res = os.listdir(os.path.join(out, "results_out"))
+        assert len(res) == 1
+        seq_dir = os.path.join(out, "results_out", res[0])
+        with np.load(os.path.join(seq_dir, "observations.npz")) as d:
+            assert d["points3d"].shape == (5, 32, 3)
+            assert np.isfinite(d["points3d"]).all()
+        with np.load(os.path.join(seq_dir, "stage3_results.npz")) as d:
+            assert np.isfinite(d["trans"]).all()
+            assert "floor_plane" in d.files
+        csvs = os.listdir(os.path.join(out, "eval_out"))
+        assert any("per_seq_mean" in c for c in csvs)
