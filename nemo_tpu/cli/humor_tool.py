@@ -127,6 +127,36 @@ def build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--cam_t", type=float, nargs=3, default=[0.0, 0.0, 2.5])
     fr.add_argument("--seed", type=int, default=0)
 
+    vz = sub.add_parser(
+        "viz-fit",
+        help="Render fitting result dirs: camera-view mesh overlay video "
+             "per sequence (+ observed 2D joints, + canonical prior-frame "
+             "view) — the fitting/viz_fitting_rgb.py surface on the "
+             "framework render stack")
+    vz.add_argument("--results", type=str, required=True,
+                    help="results_out dir (per-seq dirs / final_results)")
+    vz.add_argument("--out", type=str, required=True)
+    vz.add_argument("--final_only", action="store_true", default=False,
+                    help="only visualize final_results (--viz-final-only)")
+    vz.add_argument("--obs_2d", action="store_true", default=False,
+                    help="draw observed joints2d over the frames "
+                         "(--viz-obs-2d)")
+    vz.add_argument("--prior_frame", action="store_true", default=False,
+                    help="also render the *_prior.npz canonical-frame "
+                         "motion (--viz-prior-frame)")
+    vz.add_argument("--im_dim", type=int, nargs=2, default=[1280, 720],
+                    metavar=("W", "H"),
+                    help="render size (--viz-render-width/height)")
+    vz.add_argument("--fps", type=float, default=30.0)
+    vz.add_argument("--every", type=int, default=1)
+    vz.add_argument("--max_seqs", type=int, default=0)
+    vz.add_argument("--smpl_path", type=str, default="")
+    vz.add_argument("--method", type=str, default="auto",
+                    choices=["auto", "raster", "splat"])
+    vz.add_argument("--no_bg", action="store_true", default=False,
+                    help="white background instead of the video frames "
+                         "(--viz-no-bg)")
+
     fp = sub.add_parser(
         "fit-prox",
         help="PROX fitting driver: RGB keypoints (+ optional RGB-D depth "
@@ -495,6 +525,130 @@ def cmd_fit_rgb(args) -> int:
                                smpl_joints_fn=smpl_joints_fn)
     print(f"[fit-rgb] stitched -> {final}")
     return 0
+
+
+def _draw_pts2d(img: np.ndarray, pts: np.ndarray, color=(1.0, 0.2, 0.2),
+                r: int = 3) -> None:
+    """Stamp confident 2D keypoints into an (H, W, 3) float image in place
+    (the viz-obs-2d overlay, viz_fitting_rgb.py)."""
+    H, W, _ = img.shape
+    for p in np.asarray(pts).reshape(-1, pts.shape[-1]):
+        x, y = p[0], p[1]
+        conf = p[2] if pts.shape[-1] > 2 else 1.0
+        if conf <= 0 or not np.isfinite([x, y]).all():
+            continue
+        xi, yi = int(round(float(x))), int(round(float(y)))
+        if 0 <= xi < W and 0 <= yi < H:
+            img[max(0, yi - r):yi + r + 1,
+                max(0, xi - r):xi + r + 1] = color
+
+
+def cmd_viz_fit(args) -> int:
+    import shutil
+
+    import jax.numpy as jnp
+
+    from ..body.assets import load_smpl_npz, synthetic_smpl_model
+    from ..body.smpl import smpl_forward
+    from ..data.video import frames_to_video
+    from ..geometry.camera import Camera
+    from ..models.humor_fit_eval import (GT_RES_NAME, OBS_NAME,
+                                         PRED_RES_NAME,
+                                         load_fitting_results)
+    from ..render.mesh import render_mesh_overlay
+    from ..render.video import _load_frame, _write_png
+
+    model = (load_smpl_npz(args.smpl_path) if args.smpl_path
+             else synthetic_smpl_model())
+    W, H = args.im_dim
+    have_ffmpeg = shutil.which("ffmpeg") is not None
+
+    def verts_of(res):
+        T = np.asarray(res["trans"]).shape[0]
+        betas = np.asarray(res["betas"], np.float32)
+        if betas.ndim == 1:
+            betas = np.broadcast_to(betas[None], (T, betas.shape[0]))
+        body = np.zeros((T, 69), np.float32)
+        body[:, :63] = np.asarray(res["pose_body"], np.float32)
+        v, _ = smpl_forward(
+            model, jnp.asarray(betas[:, :10]), jnp.asarray(body),
+            jnp.asarray(np.asarray(res["root_orient"], np.float32)),
+            pose2rot=True, want_vertices=True,
+            transl=jnp.asarray(np.asarray(res["trans"], np.float32)))
+        return np.asarray(v)
+
+    def render_seq(verts, cam, name, obs=None, img_paths=None):
+        frame_dir = osp.join(args.out, name + ".frames")
+        os.makedirs(frame_dir, exist_ok=True)
+        T = verts.shape[0]
+        out_idx = 0
+        for t in range(0, T, max(args.every, 1)):
+            bg = None
+            if img_paths is not None and not args.no_bg:
+                bg = _load_frame(str(img_paths[t]), (H, W))
+            frame = render_mesh_overlay(
+                jnp.asarray(verts[t]), model.faces, cam, bg, (H, W),
+                method=args.method)
+            if args.obs_2d and obs is not None and "joints2d" in obs:
+                _draw_pts2d(frame, np.asarray(obs["joints2d"][t]))
+            _write_png(osp.join(frame_dir, "%06d.png" % out_idx), frame)
+            out_idx += 1
+        if have_ffmpeg:
+            frames_to_video(frame_dir, osp.join(args.out, name + ".mp4"),
+                            fps=args.fps / max(args.every, 1))
+        print(f"[viz-fit] {name}: {out_idx} frames -> {frame_dir}")
+
+    dirs = sorted(d for d in os.listdir(args.results)
+                  if not d.startswith(".")
+                  and osp.isdir(osp.join(args.results, d)))
+    if args.final_only:
+        dirs = [d for d in dirs if d == "final_results"]
+    if args.max_seqs:
+        dirs = dirs[:args.max_seqs]
+    os.makedirs(args.out, exist_ok=True)
+    n = 0
+    for seq in dirs:
+        rd = osp.join(args.results, seq)
+        pred = load_fitting_results(rd, PRED_RES_NAME)
+        if pred is None or not all(
+                np.isfinite(np.asarray(pred[k])).all()
+                for k in ("trans", "root_orient", "pose_body", "betas")):
+            print(f"[viz-fit] skipping {seq} (missing/NaN prediction)")
+            continue
+        gt = load_fitting_results(rd, GT_RES_NAME)
+        obs = load_fitting_results(rd, OBS_NAME)
+        if gt is not None and "cam_mtx" in gt:
+            m = np.asarray(gt["cam_mtx"], np.float64)
+            focal, center = float(m[0, 0]), (float(m[0, 2]),
+                                             float(m[1, 2]))
+        else:
+            from ..data.humor_rgb import DEFAULT_FOCAL_LEN
+            focal, center = DEFAULT_FOCAL_LEN[0], (W / 2.0, H / 2.0)
+        cam = Camera(jnp.eye(3), jnp.zeros(3), jnp.asarray(focal),
+                     jnp.asarray(center))
+        img_paths = (list(obs["img_paths"])
+                     if obs is not None and "img_paths" in obs else None)
+        render_seq(verts_of(pred), cam, seq, obs=obs, img_paths=img_paths)
+        n += 1
+
+        if args.prior_frame:
+            prior = load_fitting_results(rd, PRED_RES_NAME + "_prior")
+            if prior is not None:
+                pv = verts_of(prior)
+                # z-up canonical frame: look from the front, centered on
+                # the motion (the viz-prior-frame view)
+                c = pv.reshape(-1, 3).mean(0)
+                ext = float(np.abs(pv - c).max())
+                R = jnp.asarray(np.array([[1.0, 0.0, 0.0],
+                                          [0.0, 0.0, -1.0],
+                                          [0.0, 1.0, 0.0]]))
+                t = -np.asarray(R) @ c + np.array([0.0, 0.0, 4.0 * ext])
+                cam_p = Camera(R, jnp.asarray(t),
+                               jnp.asarray(0.9 * max(W, H)),
+                               jnp.asarray((W / 2.0, H / 2.0)))
+                render_seq(pv, cam_p, seq + "_prior")
+    print(f"[viz-fit] visualized {n} result dirs -> {args.out}")
+    return 0 if n else 1
 
 
 def cmd_fit_prox(args) -> int:
